@@ -1,0 +1,181 @@
+"""Montgomery prime-field arithmetic over 16-bit limb planes.
+
+Elements live in Montgomery form x·R mod p with R = 2^768, the same R as
+the reference's 12x64-limb representation (libff fp.tcc:159-188), so the
+challenge's raw Montgomery wire format (libsnark/serialization.hpp:22-32)
+maps 1:1 onto our limbs with no conversion.
+
+Reduction is textbook Montgomery REDC built from three limb convolutions
+(t = a·b; m = t·n' mod R; u = (t + m·p)/R) — the vector-lane analogue of
+cuda-fixnum's CIOS splice (modnum_monty_cios.cu:85-127), restructured so
+each step is a full-width VPU op instead of a per-thread carry chain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.primes import PrimeSpec, N_LIMBS, R_BITS
+from ..utils.bigint import int_to_limbs
+from . import limbs as lb
+
+
+class Fp:
+    """A prime field bound to one modulus; methods are jit-safe pure fns
+    over uint32 arrays of shape (48, *batch) in Montgomery form."""
+
+    elem_ndim = 1  # (48,) limb planes per element
+
+    def __init__(self, spec: PrimeSpec, name: str = "Fp"):
+        self.spec = spec
+        self.name = name
+        self.p = spec.p
+        self.L = N_LIMBS
+        self.p_limbs = jnp.asarray(int_to_limbs(spec.p))
+        self.nprime_limbs = jnp.asarray(int_to_limbs(spec.n_prime))
+        self.mont_one = jnp.asarray(int_to_limbs(spec.R % spec.p))
+        self.zero_limbs = jnp.zeros(self.L, jnp.uint32)
+        # multiplicative generator / its inverse, in Montgomery form
+        g = spec.multiplicative_generator
+        self.mont_generator = jnp.asarray(int_to_limbs(spec.to_mont(g)))
+
+    # ---- constructors -------------------------------------------------
+    def const(self, value: int):
+        """Montgomery-form constant (shape (48,)) from an integer value."""
+        return jnp.asarray(int_to_limbs(self.spec.to_mont(value)))
+
+    def const_raw(self, mont_value: int):
+        """Constant already in Montgomery form."""
+        return jnp.asarray(int_to_limbs(mont_value))
+
+    def zeros(self, batch_shape):
+        return jnp.zeros((self.L,) + tuple(batch_shape), jnp.uint32)
+
+    def ones(self, batch_shape):
+        return jnp.broadcast_to(
+            lb.bcast_const(self.mont_one, self.zeros(batch_shape)),
+            (self.L,) + tuple(batch_shape),
+        )
+
+    # ---- ring ops ------------------------------------------------------
+    def add(self, a, b):
+        s = lb.normalize(a + b)  # < 2p < 2^754 fits in 48 limbs
+        return lb.cond_sub(s, self.p_limbs)
+
+    def sub(self, a, b):
+        # a - b mod p == (a + p) - b, both canonical
+        s = lb.normalize(a + lb.bcast_const(self.p_limbs, a))
+        d, _ = lb.sub_borrow(s, jnp.broadcast_to(b, s.shape))
+        return lb.cond_sub(d, self.p_limbs)
+
+    def neg(self, a):
+        d, _ = lb.sub_borrow(
+            jnp.broadcast_to(lb.bcast_const(self.p_limbs, a), a.shape), a
+        )
+        return lb.select(lb.is_zero(a), a, d)
+
+    def _redc(self, t):
+        """t (96 redundant limbs, value < R*p) -> t*R^{-1} mod p canonical."""
+        t = lb.normalize(t)
+        m = lb.mul_low(t[: self.L], lb.bcast_const(self.nprime_limbs, t), self.L)
+        m = lb.normalize(m)
+        u = t + lb.mul_wide(m, lb.bcast_const(self.p_limbs, m))
+        u = lb.normalize(u)  # low 48 limbs are now zero
+        return lb.cond_sub(u[self.L :], self.p_limbs)
+
+    def mul(self, a, b):
+        return self._redc(lb.mul_wide(a, b))
+
+    def sqr(self, a):
+        return self._redc(lb.mul_wide(a, a))
+
+    def mul_const(self, a, c):
+        """a * const where c is a (48,) Montgomery-form constant."""
+        return self._redc(lb.mul_wide(a, lb.bcast_const(c, a)))
+
+    def mul_small(self, a, k: int):
+        """a * k for a small integer k (NOT Montgomery: plain scaling).
+        Used for extension-field non-residues (fp2.tcc:81-135)."""
+        t = lb.normalize(lb.mul_small(a, k))
+        # t < k*p; binary conditional-subtract chain of k_bits rounds
+        kk = 1
+        while kk * 2 < k:
+            kk *= 2
+        while kk >= 1:
+            t = lb.cond_sub(t, jnp.asarray(int_to_limbs(kk * self.p), dtype=jnp.uint32))
+            kk //= 2
+        return t
+
+    def double(self, a):
+        return self.add(a, a)
+
+    # ---- predicates ----------------------------------------------------
+    def is_zero(self, a):
+        return lb.is_zero(a)
+
+    def eq(self, a, b):
+        return lb.eq(a, b)
+
+    def select(self, mask, a, b):
+        return lb.select(mask, a, b)
+
+    # ---- exponentiation / inversion -------------------------------------
+    def pow_int(self, a, e: int):
+        """a^e for a fixed Python-int exponent (lax.scan over bits)."""
+        bits = [(e >> i) & 1 for i in range(e.bit_length())][::-1]  # MSB first
+        bits_arr = jnp.asarray(np.array(bits, dtype=np.bool_))
+
+        def body(acc, bit):
+            acc = self.sqr(acc)
+            acc = self.select(bit, self.mul(acc, a), acc)
+            return acc, None
+
+        init = self.ones(a.shape[1:])
+        out, _ = jax.lax.scan(body, init, bits_arr)
+        return out
+
+    def inv(self, a):
+        """Batch inversion via Fermat: a^(p-2).  0 maps to 0."""
+        return self.pow_int(a, self.p - 2)
+
+    def batch_inv(self, a):
+        """Montgomery's trick along the last axis — O(3N) muls + one inv,
+        log-depth via prefix products (associative_scan).  Zero entries
+        map to zero (matching batch_to_special's semantics for Z=0,
+        multiexp.tcc:684)."""
+        zero_mask = self.is_zero(a)
+        safe = self.select(zero_mask, self.ones(a.shape[1:]), a)
+        # inclusive prefix products along the batch (last) axis
+        pref = jax.lax.associative_scan(self.mul, safe, axis=safe.ndim - 1)
+        total_inv = self.inv(pref[..., -1:])
+        # suffix walk: inv(a_i) = pref_{i-1} * suffprod_inv_i, where
+        # suffprod_inv_i = total_inv * prod_{j>i} a_j ... compute via
+        # reversed inclusive scan of inverses: simpler exact route below.
+        rev = jnp.flip(safe, axis=-1)
+        suff = jnp.flip(jax.lax.associative_scan(self.mul, rev, axis=rev.ndim - 1), axis=-1)
+        # inv(a_i) = pref_{i-1} * (suff_{i+1}) * total_inv
+        ones = self.ones(a.shape[1:-1] + (1,))
+        pref_shift = jnp.concatenate([ones, pref[..., :-1]], axis=-1)
+        suff_shift = jnp.concatenate([suff[..., 1:], ones], axis=-1)
+        out = self.mul(self.mul(pref_shift, suff_shift), total_inv)
+        return self.select(zero_mask, self.zeros(a.shape[1:]), out)
+
+    # ---- Montgomery conversions (device) --------------------------------
+    def to_canonical(self, a):
+        """Montgomery form -> canonical integer limbs (value mod p)."""
+        one = jnp.zeros_like(a).at[0].set(1)
+        return self._redc(lb.mul_wide(a, one))
+
+    def from_canonical(self, a):
+        """Canonical integer limbs -> Montgomery form (mul by R^2)."""
+        return self.mul_const(a, jnp.asarray(int_to_limbs(self.spec.R2)))
+
+    # ---- host conversions ------------------------------------------------
+    def host_to_mont_limbs(self, values) -> np.ndarray:
+        from ..utils.bigint import ints_to_limbs
+
+        return ints_to_limbs([self.spec.to_mont(v) for v in values])

@@ -1,0 +1,248 @@
+"""Branch-free projective short-Weierstrass group law, generic over the
+coordinate field (Fq for G1, Fq2/Fq3 for G2).
+
+Coordinates are projective (X:Y:Z) — NOT Jacobian, since the MNT curves
+have a != 0 (mnt4753_g1.cpp uses add-1998-cmo-2 / dbl-2007-bl over
+plain projective coordinates).  The identity is (0:1:0) and is_zero is
+X==0 && Z==0 (mnt4753_g1.cpp:96-98).
+
+Where the reference branches on is_zero/equality (mnt4753_g1.cpp:222-240)
+we evaluate the generic add *and* the doubling formula and blend the
+results with masked selects — the intermediate projective representatives
+differ from the CPU code's, but the represented group elements (and hence
+the unique affine outputs) are identical, which is all byte-exactness
+needs (libsnark/serialization.hpp:44-54 serializes affine form).
+
+A point batch is a pytree (X, Y, Z) of field arrays; for G1 each array is
+uint32[48, *batch]; for G2 over Fq2, uint32[2, 48, *batch].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class Curve:
+    """One short-Weierstrass curve y^2 z = x^3 + a x z^2 + b z^3 over a
+    field object F (ops.field.Fp or ops.towers.Fp2/Fp3)."""
+
+    def __init__(self, F, coeff_a, coeff_b, name: str):
+        self.F = F
+        self.a = coeff_a  # field constant, component/limb planes, no batch
+        self.b = coeff_b
+        self.name = name
+
+    # ---- constructors ---------------------------------------------------
+    def zero(self, batch_shape=()):
+        F = self.F
+        return (F.zeros(batch_shape), F.ones(batch_shape), F.zeros(batch_shape))
+
+    def from_affine(self, x, y):
+        """(x, y) field arrays -> projective with Z=1; (0, 0) -> identity
+        (read_g1 semantics, libsnark/serialization.hpp:84-92: y==0 => zero)."""
+        F = self.F
+        batch = x.shape[F.elem_ndim :]
+        zero_mask = F.is_zero(y)
+        z = F.select(zero_mask, F.zeros(batch), F.ones(batch))
+        yy = F.select(zero_mask, F.ones(batch), y)
+        xx = F.select(zero_mask, F.zeros(batch), x)
+        return (xx, yy, z)
+
+    def is_zero(self, P):
+        X, _, Z = P
+        return jnp.logical_and(self.F.is_zero(X), self.F.is_zero(Z))
+
+    def select(self, mask, P, Q):
+        F = self.F
+        return tuple(F.select(mask, p, q) for p, q in zip(P, Q))
+
+    # ---- group law -------------------------------------------------------
+    def _a_const(self, like):
+        # broadcast the curve constant under the batch dims of `like`
+        extra = like.ndim - self.a.ndim
+        return self.a.reshape(self.a.shape + (1,) * extra)
+
+    def double(self, P):
+        """dbl-2007-bl over projective coords (mnt4753_g1.cpp:315-347).
+        Identity doubles to identity via masking."""
+        F = self.F
+        X1, Y1, Z1 = P
+        XX = F.sqr(X1)
+        ZZ = F.sqr(Z1)
+        aZZ = F.mul(self._a_const(ZZ), ZZ)
+        w = F.add(aZZ, F.add(XX, F.add(XX, XX)))
+        Y1Z1 = F.mul(Y1, Z1)
+        s = F.double(Y1Z1)
+        ss = F.sqr(s)
+        sss = F.mul(s, ss)
+        R = F.mul(Y1, s)
+        RR = F.sqr(R)
+        XR = F.add(X1, R)
+        B = F.sub(F.sub(F.sqr(XR), XX), RR)
+        h = F.sub(F.sqr(w), F.double(B))
+        X3 = F.mul(h, s)
+        Y3 = F.sub(F.mul(w, F.sub(B, h)), F.double(RR))
+        Z3 = sss
+        return self.select(self.is_zero(P), P, (X3, Y3, Z3))
+
+    def add(self, P, Q):
+        """Complete (masked) projective addition: generic add-1998-cmo-2
+        (mnt4753_g1.cpp:220-264) blended with doubling and the
+        zero/inverse degeneracies."""
+        F = self.F
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Y1Z2 = F.mul(Y1, Z2)
+        X1Z2 = F.mul(X1, Z2)
+        Z1Z2 = F.mul(Z1, Z2)
+        u = F.sub(F.mul(Y2, Z1), Y1Z2)
+        v = F.sub(F.mul(X2, Z1), X1Z2)
+        uu = F.sqr(u)
+        vv = F.sqr(v)
+        vvv = F.mul(v, vv)
+        R = F.mul(vv, X1Z2)
+        A = F.sub(F.sub(F.mul(uu, Z1Z2), vvv), F.double(R))
+        X3 = F.mul(v, A)
+        Y3 = F.sub(F.mul(u, F.sub(R, A)), F.mul(vvv, Y1Z2))
+        Z3 = F.mul(vvv, Z1Z2)
+        generic = (X3, Y3, Z3)
+
+        p_zero = self.is_zero(P)
+        q_zero = self.is_zero(Q)
+        u_zero = F.is_zero(u)
+        v_zero = F.is_zero(v)
+        # same x: doubling if same y, inverse (-> identity) otherwise
+        dbl_case = jnp.logical_and(v_zero, u_zero)
+        inf_case = jnp.logical_and(v_zero, jnp.logical_not(u_zero))
+
+        batch = X3.shape[self.F.elem_ndim :]
+        out = self.select(inf_case, self.zero(batch), generic)
+        out = self.select(dbl_case, self.double(P), out)
+        out = self.select(q_zero, P, out)
+        out = self.select(p_zero, Q, out)
+        return out
+
+    def add_unified_nonzero(self, P, Q):
+        """Cheaper masked add for callers that guarantee neither operand is
+        a doubling of the other is NOT possible — still handles identity
+        operands and inverse pairs (used where keys are distinct)."""
+        F = self.F
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Y1Z2 = F.mul(Y1, Z2)
+        X1Z2 = F.mul(X1, Z2)
+        Z1Z2 = F.mul(Z1, Z2)
+        u = F.sub(F.mul(Y2, Z1), Y1Z2)
+        v = F.sub(F.mul(X2, Z1), X1Z2)
+        uu = F.sqr(u)
+        vv = F.sqr(v)
+        vvv = F.mul(v, vv)
+        R = F.mul(vv, X1Z2)
+        A = F.sub(F.sub(F.mul(uu, Z1Z2), vvv), F.double(R))
+        X3 = F.mul(v, A)
+        Y3 = F.sub(F.mul(u, F.sub(R, A)), F.mul(vvv, Y1Z2))
+        Z3 = F.mul(vvv, Z1Z2)
+        generic = (X3, Y3, Z3)
+        p_zero = self.is_zero(P)
+        q_zero = self.is_zero(Q)
+        inf_case = jnp.logical_and(F.is_zero(v), jnp.logical_not(F.is_zero(u)))
+        out = self.select(inf_case, self.zero(p_zero.shape), generic)
+        out = self.select(q_zero, P, out)
+        out = self.select(p_zero, Q, out)
+        return out
+
+    def neg(self, P):
+        X, Y, Z = P
+        return (X, self.F.neg(Y), Z)
+
+    def eq(self, P, Q):
+        """Projective equality: X1Z2==X2Z1 and Y1Z2==Y2Z1, with identity
+        handled (mnt4753_g1.cpp:100-127)."""
+        F = self.F
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        pz, qz = self.is_zero(P), self.is_zero(Q)
+        same = jnp.logical_and(
+            F.eq(F.mul(X1, Z2), F.mul(X2, Z1)), F.eq(F.mul(Y1, Z2), F.mul(Y2, Z1))
+        )
+        return jnp.where(pz, qz, jnp.where(qz, pz, same))
+
+    # ---- conversions ------------------------------------------------------
+    def to_affine(self, P):
+        """Batch affine conversion via batched field inversion
+        (to_affine_coordinates, mnt4753_g1.cpp:68-83; batch_to_special,
+        multiexp.tcc:684).  Identity -> (0, 1, 0)."""
+        F = self.F
+        X, Y, Z = P
+        zero_mask = self.is_zero(P)
+        Zi = F.batch_inv(Z) if X.ndim > F.elem_ndim else F.inv(Z)
+        x = F.mul(X, Zi)
+        y = F.mul(Y, Zi)
+        batch = zero_mask.shape
+        x = F.select(zero_mask, F.zeros(batch), x)
+        y = F.select(zero_mask, F.ones(batch), y)
+        z = F.select(zero_mask, F.zeros(batch), F.ones(batch))
+        return (x, y, z)
+
+    def is_well_formed(self, P):
+        """y^2 z == x^3 + a x z^2 + b z^3 for non-identity
+        (mnt4753_g1.cpp:348-377)."""
+        F = self.F
+        X, Y, Z = P
+        lhs = F.mul(F.sqr(Y), Z)
+        ZZ = F.sqr(Z)
+        rhs = F.add(
+            F.mul(F.sqr(X), X),
+            F.add(
+                F.mul(self._a_const(X), F.mul(X, ZZ)),
+                F.mul(self._b_const(X), F.mul(Z, ZZ)),
+            ),
+        )
+        return jnp.where(self.is_zero(P), True, F.eq(lhs, rhs))
+
+    def _b_const(self, like):
+        extra = like.ndim - self.b.ndim
+        return self.b.reshape(self.b.shape + (1,) * extra)
+
+    # ---- scalar multiplication -------------------------------------------
+    def scalar_mul_int(self, P, e: int):
+        """Fixed Python-int scalar multiple (double-and-add, MSB first)."""
+        import jax
+        import numpy as np
+
+        if e == 0:
+            batch = self.is_zero(P).shape
+            return self.zero(batch)
+        bits = [(e >> i) & 1 for i in range(e.bit_length())][::-1]
+        bits_arr = jnp.asarray(np.array(bits, dtype=np.bool_))
+        batch = self.is_zero(P).shape
+
+        def body(acc, bit):
+            acc = self.double(acc)
+            acc = self.select(bit, self.add(acc, P), acc)
+            return acc, None
+
+        out, _ = jax.lax.scan(body, self.zero(batch), bits_arr)
+        return out
+
+    def scalar_mul_limbs(self, P, scalar_canonical, num_bits: int = 768):
+        """Variable scalar multiple: scalar given as canonical 16-bit limb
+        planes (48, *batch).  Masked double-and-add over all limb bits —
+        the r * evaluation_Bt1 term of the proof's C (libsnark/main.cpp:253)."""
+        import jax
+
+        batch = self.is_zero(P).shape
+
+        def body(carry, i):
+            acc = carry
+            acc = self.double(acc)
+            limb = scalar_canonical[(num_bits - 1 - i) // 16]
+            bit = (limb >> ((num_bits - 1 - i) % 16).astype(limb.dtype)) & 1
+            acc = self.select(bit.astype(jnp.bool_), self.add(acc, P), acc)
+            return acc, None
+
+        idx = jnp.arange(num_bits)
+        out, _ = jax.lax.scan(body, self.zero(batch), idx)
+        return out
