@@ -1,0 +1,69 @@
+"""Runtime configuration.
+
+The reference's knobs are compile-time CMake defines (CMakeLists.txt:7-96:
+MULTICORE, USE_ASM, BINARY_OUTPUT, MONTGOMERY_OUTPUT, USE_MIXED_ADDITION,
+LOWMEM, PROFILE_OP_COUNTS...) plus argv and OMP_NUM_THREADS.  On TPU these
+become runtime choices fed into trace-time Python: window sizes, scan
+implementations, mesh shape, grouping.  Values resolve from (1) explicit
+arguments, (2) environment variables, (3) defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def _env_int(name, default):
+    v = os.environ.get(name)
+    return int(v) if v is not None else default
+
+
+def _env_str(name, default):
+    return os.environ.get(name, default)
+
+
+@dataclasses.dataclass
+class Config:
+    # MSM
+    msm_window: int | None = None          # None = size heuristic
+    msm_scan_impl: str = "hillis"          # "hillis" | "assoc"
+    msm_window_group: int | None = None    # windows vectorized per scan step
+    # FFT
+    fft_impl: str = "radix2"
+    # mesh
+    mesh_devices: int | None = None        # None = all
+    # profiling
+    profile: bool = True
+
+    @classmethod
+    def from_env(cls) -> "Config":
+        return cls(
+            msm_window=(
+                int(os.environ["SNARK_TPU_MSM_WINDOW"])
+                if "SNARK_TPU_MSM_WINDOW" in os.environ
+                else None
+            ),
+            msm_scan_impl=_env_str("SNARK_TPU_MSM_SCAN", "hillis"),
+            msm_window_group=(
+                int(os.environ["SNARK_TPU_MSM_WGROUP"])
+                if "SNARK_TPU_MSM_WGROUP" in os.environ
+                else None
+            ),
+            mesh_devices=(
+                int(os.environ["SNARK_TPU_MESH_DEVICES"])
+                if "SNARK_TPU_MESH_DEVICES" in os.environ
+                else None
+            ),
+            profile=os.environ.get("SNARK_TPU_PROFILE", "1") != "0",
+        )
+
+
+_default: Config | None = None
+
+
+def get_config() -> Config:
+    global _default
+    if _default is None:
+        _default = Config.from_env()
+    return _default

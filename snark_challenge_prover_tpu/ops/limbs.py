@@ -87,27 +87,33 @@ def normalize(x):
 
 def mul_wide(a, b):
     """Full product of canonical a (La limbs) and b (Lb limbs):
-    (La+Lb, *batch) redundant limbs, each < 96 * 2^16 < 2^23."""
+    (La+Lb, *batch) redundant limbs, each < 96 * 2^16 < 2^23.
+
+    Schoolbook convolution as a fori_loop so the graph stays ~15 XLA ops
+    regardless of width (an unrolled version is ~100x larger to compile;
+    the TPU Pallas/MXU kernel replaces this on the hot path)."""
     La = a.shape[0]
     Lb = b.shape[0]
-    acc = jnp.zeros((La + Lb,) + jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), _u32)
-    for i in range(La):
-        p = a[i] * b  # exact in u32: both operands < 2^16
-        acc = acc.at[i : i + Lb].add(p & LIMB_MASK)
-        acc = acc.at[i + 1 : i + 1 + Lb].add(p >> LIMB_BITS)
-    return acc
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    acc = jnp.zeros((La + Lb,) + batch, _u32)
+    b_b = jnp.broadcast_to(b, (Lb,) + batch)
+
+    def step(i, acc):
+        ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=True)  # (1, *batch)
+        p = ai * b_b  # (Lb, *batch), exact in u32
+        lo = p & LIMB_MASK
+        hi = p >> LIMB_BITS
+        win = jax.lax.dynamic_slice_in_dim(acc, i, Lb + 1, 0)
+        upd = win.at[:Lb].add(lo).at[1:].add(hi)
+        return jax.lax.dynamic_update_slice_in_dim(acc, upd, i, 0)
+
+    return jax.lax.fori_loop(0, La, step, acc)
 
 
 def mul_low(a, b, L):
     """Low L limbs of a*b (i.e. a*b mod 2^(16L)), redundant output."""
-    acc = jnp.zeros((L,) + jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), _u32)
-    for i in range(min(L, a.shape[0])):
-        width = L - i
-        p = a[i] * b[:width]
-        acc = acc.at[i:].add(p & LIMB_MASK)
-        if width > 1:
-            acc = acc.at[i + 1 :].add((p >> LIMB_BITS)[: width - 1])
-    return acc
+    full = mul_wide(a, b)
+    return full[:L]
 
 
 def mul_small(a, k: int):

@@ -1,0 +1,290 @@
+"""TPU-shaped Pippenger multi-scalar multiplication.
+
+Replaces the reference's two MSM engines — Bos-Coster (heap-sequential,
+multiexp.tcc:285-400, unusable on SIMD hardware) and BDLO12/Pippenger
+(multiexp.tcc:166-283) — with a fully data-parallel Pippenger:
+
+  1. all window digits at once: (W, M, N) int32
+  2. window groups under one lax.scan (memory/VPU-width trade-off);
+     within a group every phase is vectorized across windows AND across
+     the M independent MSMs sharing this call:
+       a. stable sort of points by bucket digit           [XLA sort]
+       b. segmented inclusive scan with EC add as monoid  [associative_scan,
+          ~2N vectorized adds/window — Blelloch work-efficient]
+       c. scatter segment totals into 2^c bucket slots
+       d. bucket triangle sum via two suffix scans        [~4*2^c adds]
+  3. Horner across windows: carry = 2^c * carry + S_w.  The ~753
+     sequential doublings are the algorithm's critical path; batching M
+     MSMs (the prover's A/B1/H/L share one call) amortizes it.
+
+Result equality with the reference is exact: every method computes the
+same group element sum_i s_i * P_i, and proofs serialize affine
+coordinates only (libsnark/serialization.hpp:44-54).
+
+Scalars enter in *canonical* (non-Montgomery) limb form; the Groth16
+layer converts with Fp.to_canonical (the integer value is what multiplies
+the point — libff multi_exp semantics).  Zero scalars contribute the
+identity, so length padding is free (multi_exp_with_mixed_addition's
+zero-skip, multiexp.tcc:444-495, becomes a mask instead of a filter).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .group import Curve
+
+SCALAR_BITS = 753
+
+
+def default_window_bits(n: int) -> int:
+    """Bucket window size, ~log2(n)-3 clamped to [4, 16] (a digit must fit
+    in two 16-bit limbs); same flavour as get_exp_window_size
+    (multiexp.tcc:507)."""
+    if n <= 1:
+        return 4
+    return max(4, min(16, int(math.log2(n)) - 3))
+
+
+def window_digits(scalars, c: int, scalar_bits: int = SCALAR_BITS):
+    """(48, *batch) canonical uint32 limbs -> (W, *batch) int32 digits,
+    least-significant window first."""
+    W = (scalar_bits + c - 1) // c
+    pad = jnp.zeros((2,) + scalars.shape[1:], scalars.dtype)
+    s = jnp.concatenate([scalars, pad], axis=0)
+    mask = jnp.uint32((1 << c) - 1)
+    digs = []
+    for w in range(W):
+        bit = w * c
+        i0, off = bit // 16, bit % 16
+        val = (s[i0] >> jnp.uint32(off)) | (s[i0 + 1] << jnp.uint32(16 - off))
+        digs.append((val & mask).astype(jnp.int32))
+    return jnp.stack(digs)  # (W, *batch)
+
+
+def _hillis_levels(n: int) -> int:
+    return max(1, math.ceil(math.log2(max(2, n))))
+
+
+def _ec_scan(curve: Curve, elems, axis: int, reverse: bool = False,
+             impl: str = "hillis"):
+    """Inclusive EC-add scan along `axis` (last axis of every leaf).
+
+    impl="assoc": jax.lax.associative_scan — work-efficient (~2N combines)
+    but traces the combine O(log N) times (big XLA graphs: slow compiles).
+    impl="hillis": Hillis-Steele under fori_loop — one combine in the
+    graph, log N runtime passes of N-wide masked adds (N log N work)."""
+    if impl == "assoc":
+        return jax.lax.associative_scan(
+            lambda a, b: curve.add(a, b), elems, axis=axis, reverse=reverse
+        )
+    n = elems[0].shape[axis]
+    idx = jnp.arange(n)
+
+    def level(t, state):
+        d = jnp.left_shift(jnp.int32(1), t)
+        sh = 1 if reverse else -1
+        shifted = tuple(jnp.roll(s, sh * d, axis=axis) for s in state)
+        comb = curve.add(shifted, state)
+        valid = (idx < n - d) if reverse else (idx >= d)
+        vshape = (1,) * (state[0].ndim - 1) + (n,)
+        v = valid.reshape(vshape)
+        return tuple(jnp.where(v, c, s) for c, s in zip(comb, state))
+
+    return jax.lax.fori_loop(0, _hillis_levels(n), level, tuple(elems))
+
+
+def _ec_segmented_scan(curve: Curve, pts, start, impl: str = "hillis"):
+    """Inclusive segmented EC-add scan along the last axis.  `start` marks
+    segment beginnings; at each position the running sum restarts there."""
+    X, Y, Z = pts
+    extra = X.ndim - start.ndim
+    flag = start.reshape((1,) * extra + start.shape)
+
+    def comb(a, b):
+        ax, ay, az, af = a
+        bx, by, bz, bf = b
+        s = curve.add((ax, ay, az), (bx, by, bz))
+        kx = bf.astype(bool)
+        return (
+            jnp.where(kx, bx, s[0]),
+            jnp.where(kx, by, s[1]),
+            jnp.where(kx, bz, s[2]),
+            af | bf,
+        )
+
+    if impl == "assoc":
+        sx, sy, sz, _ = jax.lax.associative_scan(
+            comb, (X, Y, Z, flag), axis=X.ndim - 1
+        )
+        return sx, sy, sz
+
+    n = X.shape[-1]
+    idx = jnp.arange(n)
+
+    def level(t, state):
+        d = jnp.left_shift(jnp.int32(1), t)
+        shifted = tuple(jnp.roll(s, d, axis=-1) for s in state)
+        combined = comb(shifted, state)
+        valid = idx >= d
+        out = []
+        for c, s in zip(combined, state):
+            v = valid.reshape((1,) * (c.ndim - 1) + (n,))
+            out.append(jnp.where(v, c, s))
+        return tuple(out)
+
+    state = jax.lax.fori_loop(
+        0, _hillis_levels(n), level, (X, Y, Z, jnp.broadcast_to(flag, (1,) * extra + start.shape))
+    )
+    return state[0], state[1], state[2]
+
+
+def msm_multi(curve: Curve, points, scalars_canonical, c: int | None = None,
+              window_group: int | None = None, scalar_bits: int = SCALAR_BITS,
+              scan_impl: str = "hillis"):
+    """M independent MSMs over the same curve in one fused program.
+
+    points: projective triple of field arrays with trailing batch (M, N)
+    scalars_canonical: (48, M, N) canonical uint32 limb planes
+    Returns a projective point batch of shape (M,).
+    """
+    F = curve.F
+    X, Y, Z = points
+    M, N = X.shape[-2], X.shape[-1]
+    if c is None:
+        c = default_window_bits(N)
+    B = 1 << c
+    W = (scalar_bits + c - 1) // c
+
+    if window_group is None:
+        # keep gathered working set around ~2^22 point-slots
+        window_group = max(1, min(W, (1 << 22) // max(1, M * N)))
+    Gr = window_group
+    W_pad = ((W + Gr - 1) // Gr) * Gr
+
+    digits = window_digits(scalars_canonical, c, scalar_bits)  # (W, M, N)
+    if W_pad != W:
+        # pad with zero windows at the most-significant end (processed
+        # first by the MSB-first Horner scan with zero effect)
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((W_pad - W, M, N), jnp.int32)], axis=0
+        )
+    # MSB-first group order
+    dig_groups = digits[::-1].reshape(W_pad // Gr, Gr, M, N)
+
+    extra = X.ndim - 2  # leading non-batch dims of the point arrays
+
+    def body(carry, digs):
+        # digs: (Gr, M, N)
+        idx = jnp.argsort(digs, axis=-1, stable=True).astype(jnp.int32)
+        keys = jnp.take_along_axis(digs, idx, axis=-1)
+        # gather points per (group-window, msm): X has batch (M, N); we
+        # need (Gr, M, N).  Fancy-index the N axis with idx[g, m, :] per
+        # (g, m): vmap the take over M then broadcast over Gr.
+        def gather(arr):
+            # arr: (..., M, N); idx: (Gr, M, N) -> (..., Gr, M, N)
+            def take_m(a_m, i_m):  # (..., N), (Gr, N) -> (..., Gr, N)
+                return jnp.take(a_m, i_m, axis=-1)
+
+            # vmap over M (arr axis -2, idx axis 1), reinserting M at -2 of
+            # the per-m output (..., Gr, N) -> (..., Gr, M, N)
+            return jax.vmap(take_m, in_axes=(-2, 1), out_axes=-2)(arr, idx)
+
+        Xs, Ys, Zs = gather(X), gather(Y), gather(Z)
+        zero_d = keys == 0
+        batch = (Gr, M, N)
+        Xs = F.select(zero_d, F.zeros(batch), Xs)
+        Ys = F.select(zero_d, F.ones(batch), Ys)
+        Zs = F.select(zero_d, F.zeros(batch), Zs)
+
+        # ---- segmented scan along N ----------------------------------
+        start = jnp.concatenate(
+            [jnp.ones((Gr, M, 1), bool), keys[..., 1:] != keys[..., :-1]], axis=-1
+        )
+        sx, sy, sz = _ec_segmented_scan(curve, (Xs, Ys, Zs), start, impl=scan_impl)
+
+        # ---- scatter segment totals into buckets ----------------------
+        is_end = jnp.concatenate(
+            [keys[..., 1:] != keys[..., :-1], jnp.ones((Gr, M, 1), bool)], axis=-1
+        )
+        tgt = jnp.where(is_end, keys, B)  # non-ends -> slot B (dropped)
+        rows = (
+            jnp.arange(Gr)[:, None, None] * (M * (B + 1))
+            + jnp.arange(M)[None, :, None] * (B + 1)
+        )
+        tgt_flat = (rows + tgt).reshape(-1)
+
+        def scatter(vals, init):
+            flat = vals.reshape(vals.shape[:extra] + (-1,))
+            out = init.at[..., tgt_flat].set(flat)
+            return out.reshape(init.shape[:extra] + (Gr, M, B + 1))[..., :B]
+
+        bX = scatter(sx, F.zeros((Gr * M * (B + 1),)))
+        bY = scatter(sy, F.ones((Gr * M * (B + 1),)))
+        bZ = scatter(sz, F.zeros((Gr * M * (B + 1),)))
+
+        # ---- triangle: sum_b b * bucket_b ------------------------------
+        run = _ec_scan(
+            curve,
+            (bX[..., 1:], bY[..., 1:], bZ[..., 1:]),
+            axis=bX.ndim - 1,
+            reverse=True,
+            impl=scan_impl,
+        )
+        tot = _ec_scan(curve, run, axis=bX.ndim - 1, impl=scan_impl)
+        S = tuple(t[..., -1] for t in tot)  # (..., Gr, M)
+
+        # ---- Horner within the group (windows already MSB-first) ------
+        def dbl(i, P):
+            return curve.double(P)
+
+        def horner_step(cr, S_j):
+            cr = jax.lax.fori_loop(0, c, dbl, cr)
+            return curve.add(cr, S_j), None
+
+        S_stacked = tuple(jnp.moveaxis(t, -2, 0) for t in S)  # (Gr, ..., M)
+        carry, _ = jax.lax.scan(horner_step, carry, S_stacked)
+        return carry, None
+
+    init = curve.zero((M,))
+    out, _ = jax.lax.scan(body, init, dig_groups)
+    return out
+
+
+def msm(curve: Curve, points, scalars_canonical, c: int | None = None,
+        window_group: int | None = None, scalar_bits: int = SCALAR_BITS,
+        scan_impl: str = "hillis"):
+    """Single MSM: points batch (N,), scalars (48, N).  Returns a
+    projective point with batch shape (1,)."""
+    X, Y, Z = points
+    pts = tuple(a[..., None, :] for a in (X, Y, Z))
+    return msm_multi(curve, pts, scalars_canonical[:, None, :], c,
+                     window_group, scalar_bits, scan_impl)
+
+
+def pad_and_stack(F, point_list, scalar_list):
+    """Host helper: pad M (points, scalars) pairs to a common length with
+    zero scalars / identity points and stack along a new M axis.
+    Zero-padded entries contribute nothing (digit-0 masking)."""
+    Nmax = max(s.shape[-1] for s in scalar_list)
+    pts_out = []
+    scal_out = []
+    for (x, y, z), s in zip(point_list, scalar_list):
+        n = s.shape[-1]
+        padn = Nmax - n
+        if padn:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, padn)])
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, padn)])
+            z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, padn)])
+            s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, padn)])
+        pts_out.append((x, y, z))
+        scal_out.append(s)
+    X = jnp.stack([p[0] for p in pts_out], axis=-2)
+    Y = jnp.stack([p[1] for p in pts_out], axis=-2)
+    Z = jnp.stack([p[2] for p in pts_out], axis=-2)
+    S = jnp.stack(scal_out, axis=1)
+    return (X, Y, Z), S

@@ -1,0 +1,80 @@
+"""Multi-chip challenge-prover step.
+
+Shards the five MSMs (the dominant cost: ~W*(2N + 2^c) group adds each,
+vs the FFTs' ~7*n*log(n)/2 field muls) across the mesh data axis; the
+compute_H FFT stack currently runs replicated per device (the distributed
+4-step FFT lands in parallel/fft_sharded.py).  This mirrors how the
+reference splits only the MSM stream across OpenMP threads
+(libsnark/main.cpp:168-186) while FFTs use their own parallel pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import msm as msm_mod
+from ..ops.fft import get_evaluation_domain
+from ..proof_systems.groth16 import compute_h
+from .mesh import DATA_AXIS, make_mesh
+from .msm_sharded import msm_multi_sharded
+
+
+def _pad_to(arrs, mult: int):
+    """Pad trailing N axis of every array to a multiple of mult."""
+    out = []
+    for a in arrs:
+        n = a.shape[-1]
+        padn = (-n) % mult
+        if padn:
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, padn)])
+        out.append(a)
+    return out
+
+
+def prove_step_sharded(mesh: Mesh, model, params_dev, input_dev, d: int, m: int,
+                       c: int | None = None, scan_impl: str = "hillis"):
+    """Jittable distributed prove: same math as ChallengeProver._prove_core
+    with the MSMs sharded along the point stream."""
+    F = model.Fr
+    G1, G2 = model.G1, model.G2
+    D = mesh.shape[DATA_AXIS]
+    domain = get_evaluation_domain(F, d + 1)
+
+    w = input_dev["w"]
+    h = compute_h(model, domain, input_dev["ca"], input_dev["cb"], input_dev["cc"])
+
+    w_can = F.to_canonical(w)
+    h_can = F.to_canonical(h[:, :d])
+    r_can = F.to_canonical(input_dev["r"])
+
+    def G1pts(key):
+        x, y = params_dev[key]
+        return G1.from_affine(x, y)
+
+    pts4, scal4 = msm_mod.pad_and_stack(
+        F,
+        [G1pts("A"), G1pts("B1"), G1pts("H"), G1pts("L")],
+        [w_can, w_can, h_can, w_can[:, 2:]],
+    )
+    pts4 = tuple(_pad_to(pts4, D))
+    (scal4,) = _pad_to([scal4], D)
+    g1_res = msm_multi_sharded(mesh, G1, pts4, scal4, c=c, scan_impl=scan_impl)
+    At = tuple(t[..., 0:1] for t in g1_res)
+    Bt1 = tuple(t[..., 1:2] for t in g1_res)
+    Ht = tuple(t[..., 2:3] for t in g1_res)
+    Lt = tuple(t[..., 3:4] for t in g1_res)
+
+    x2, y2 = params_dev["B2"]
+    pts2 = tuple(
+        a[..., None, :] for a in G2.from_affine(x2, y2)
+    )
+    pts2 = tuple(_pad_to(pts2, D))
+    scal2 = w_can[:, None, :]
+    (scal2,) = _pad_to([scal2], D)
+    Bt2 = msm_multi_sharded(mesh, G2, pts2, scal2, c=c, scan_impl=scan_impl)
+
+    rBt1 = G1.scalar_mul_limbs(Bt1, r_can)
+    C = G1.add(G1.add(Ht, Lt), rBt1)
+    return (G1.to_affine(At), G2.to_affine(Bt2), G1.to_affine(C))
