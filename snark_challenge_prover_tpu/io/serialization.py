@@ -123,6 +123,12 @@ class Groth16Input:
 
 
 def read_params(path: str, g2_deg: int) -> Groth16Params:
+    from . import native
+
+    res = native.read_params(path, g2_deg) if native.available() else None
+    if res is not None:
+        d, m, A, B1, B2, L, H = res
+        return Groth16Params(d, m, A, B1, B2, L, H)
     return read_params_bytes(open(path, "rb").read(), g2_deg)
 
 
@@ -140,6 +146,11 @@ def read_params_bytes(data: bytes, g2_deg: int) -> Groth16Params:
 
 
 def read_input(path: str, d: int, m: int) -> Groth16Input:
+    from . import native
+
+    res = native.read_input(path, d, m) if native.available() else None
+    if res is not None:
+        return Groth16Input(*res)
     return read_input_bytes(open(path, "rb").read(), d, m)
 
 

@@ -11,7 +11,6 @@ against the reference's published decimal constants in tests.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import lru_cache
 
 # r(MNT4753) == q(MNT6753): 2-adicity s=30 (mnt4753_init.cpp:65)
 P_MNT4_R = int(

@@ -36,6 +36,74 @@ def _bit_reverse_perm(n: int) -> np.ndarray:
     return rev
 
 
+@lru_cache(maxsize=None)
+def _stage_twiddle_tables(F: "Fp", n: int, omega: int):
+    """Per-stage twiddle tables w_m^j for the iterative radix-2 core,
+    Montgomery form, keyed by (field, size, root)."""
+    p = F.p
+    tables = []
+    m = 1
+    while m < n:
+        w_m = pow(omega, n // (2 * m), p)
+        tw = [1] * m
+        for j in range(1, m):
+            tw[j] = tw[j - 1] * w_m % p
+        tables.append(ints_to_limbs([F.spec.to_mont(t) for t in tw]))
+        m *= 2
+    return tables
+
+
+@lru_cache(maxsize=None)
+def _bit_rev(n: int):
+    return jnp.asarray(_bit_reverse_perm(n))
+
+
+def basic_radix2_fft(F: "Fp", a, omega: int):
+    """Unnormalized in-order radix-2 DIT FFT on (48, n) limb planes with
+    an arbitrary n-th root of unity omega (the _basic_radix2_FFT core,
+    basic_radix2_domain_aux.tcc:168-205, vectorized: per stage one
+    full-width Montgomery mul + add/sub)."""
+    n = a.shape[1]
+    a = jnp.take(a, _bit_rev(n), axis=1)
+    for s, tw in enumerate(_stage_twiddle_tables(F, n, omega)):
+        m = 1 << s
+        x = a.reshape(48, n // (2 * m), 2, m)
+        even = x[:, :, 0, :]
+        odd = x[:, :, 1, :]
+        t = F.mul(odd, tw[:, None, :])
+        x = jnp.stack([F.add(even, t), F.sub(even, t)], axis=2)
+        a = x.reshape(48, n)
+    return a
+
+
+def basic_radix2_fft_batched(F: "Fp", a, omega: int):
+    """Same core with a trailing batch axis: a is (48, n, B); the FFT
+    runs along axis 1 independently for every batch column (the local
+    transform of the distributed 4-step method)."""
+    n = a.shape[1]
+    B = a.shape[2]
+    a = jnp.take(a, _bit_rev(n), axis=1)
+    for s, tw in enumerate(_stage_twiddle_tables(F, n, omega)):
+        m = 1 << s
+        x = a.reshape(48, n // (2 * m), 2, m, B)
+        even = x[:, :, 0, :, :]
+        odd = x[:, :, 1, :, :]
+        t = F.mul(odd, tw[:, None, :, None])
+        x = jnp.stack([F.add(even, t), F.sub(even, t)], axis=2)
+        a = x.reshape(48, n, B)
+    return a
+
+
+@lru_cache(maxsize=None)
+def _power_vector(F: "Fp", g: int, n: int):
+    """[g^i for i < n] in Montgomery form (48, n)."""
+    p = F.p
+    vals = [1] * n
+    for i in range(1, n):
+        vals[i] = vals[i - 1] * g % p
+    return ints_to_limbs([F.spec.to_mont(v) for v in vals])
+
+
 class Radix2Domain:
     """Size-n multiplicative subgroup domain, n = 2^k.
 
@@ -55,56 +123,16 @@ class Radix2Domain:
         self.n_inv_mont = F.const(pow(n, -1, p))
         g = spec.multiplicative_generator
         self.g = g
-        # coset scale vectors g^i / g^-i in Montgomery form
-        self._perm = jnp.asarray(_bit_reverse_perm(n))
 
-    # ---- host-side table builders (cached) -------------------------------
-    @lru_cache(maxsize=None)
-    def _stage_twiddles(self, inverse: bool):
-        """Per-stage twiddle tables w_m^j, j < m for m = 1,2,4,...,n/2,
-        Montgomery form, as a list of (48, m) arrays."""
-        p = self.F.p
-        omega = self.omega_inv if inverse else self.omega
-        tables = []
-        m = 1
-        while m < self.n:
-            w_m = pow(omega, self.n // (2 * m), p)
-            tw = [1] * m
-            for j in range(1, m):
-                tw[j] = tw[j - 1] * w_m % p
-            # numpy (not jnp): these build lazily inside traces and must
-            # stay host constants, not leaked tracers
-            tables.append(ints_to_limbs([self.F.spec.to_mont(t) for t in tw]))
-            m *= 2
-        return tables
-
-    @lru_cache(maxsize=None)
     def _coset_powers(self, inverse: bool):
         """[g^i] (or [g^-i]) for i < n, Montgomery form (48, n)."""
-        p = self.F.p
-        g = pow(self.g, -1, p) if inverse else self.g
-        vals = [1] * self.n
-        for i in range(1, self.n):
-            vals[i] = vals[i - 1] * g % p
-        return ints_to_limbs([self.F.spec.to_mont(v) for v in vals])
+        g = pow(self.g, -1, self.F.p) if inverse else self.g
+        return _power_vector(self.F, g, self.n)
 
     # ---- transforms --------------------------------------------------------
     def _fft_core(self, a, inverse: bool):
         """In-place-style iterative DIT butterflies on (48, n) planes."""
-        F = self.F
-        n = self.n
-        a = jnp.take(a, self._perm, axis=1)
-        tables = self._stage_twiddles(inverse)
-        for s, tw in enumerate(tables):
-            m = 1 << s
-            # groups of 2m: [48, n/(2m), 2, m]
-            x = a.reshape(48, n // (2 * m), 2, m)
-            even = x[:, :, 0, :]
-            odd = x[:, :, 1, :]
-            t = F.mul(odd, tw[:, None, :])
-            x = jnp.stack([F.add(even, t), F.sub(even, t)], axis=2)
-            a = x.reshape(48, n)
-        return a
+        return basic_radix2_fft(self.F, a, self.omega_inv if inverse else self.omega)
 
     def fft(self, a):
         """coefficients -> evaluations (basic_radix2_domain.tcc FFT)."""
@@ -135,6 +163,13 @@ class Radix2Domain:
 
     def compute_vanishing_polynomial(self, t: int) -> int:
         return (pow(t, self.n, self.F.p) - 1) % self.F.p
+
+    def add_poly_Z(self, coeff: int, H: list):
+        """H += coeff * Z with Z(x) = x^n - 1 (basic_radix2_domain.tcc
+        add_poly_Z)."""
+        p = self.F.p
+        H[self.n] = (H[self.n] + coeff) % p
+        H[0] = (H[0] - coeff) % p
 
     def get_domain_element(self, i: int) -> int:
         return pow(self.omega, i, self.F.p)
@@ -289,13 +324,295 @@ class MixedRadixDomain:
     def get_domain_element(self, i: int) -> int:
         return pow(self.omega, i, self.F.p)
 
+    def compute_vanishing_polynomial(self, t: int) -> int:
+        return (pow(t, self.n, self.F.p) - 1) % self.F.p
+
+    def add_poly_Z(self, coeff: int, H: list):
+        """Z(x) = x^n - 1 (multiplicative subgroup domain)."""
+        p = self.F.p
+        H[self.n] = (H[self.n] + coeff) % p
+        H[0] = (H[0] - coeff) % p
+
+    def evaluate_all_lagrange_polynomials(self, t: int) -> np.ndarray:
+        """Same closed form as the radix-2 subgroup case — the domain is
+        still the full cyclic group generated by omega."""
+        p = self.F.p
+        n = self.n
+        tn = pow(t, n, p)
+        if tn == 1:
+            out = [0] * n
+            om = 1
+            for i in range(n):
+                if om == t:
+                    out[i] = 1
+                om = om * self.omega % p
+            return np.array(out, dtype=object)
+        Z = (tn - 1) % p
+        ninv = pow(n, -1, p)
+        out = []
+        om = 1
+        for i in range(n):
+            out.append(Z * om % p * pow((t - om) % p, -1, p) % p * ninv % p)
+            om = om * self.omega % p
+        return np.array(out, dtype=object)
+
+
+class ExtendedRadix2Domain:
+    """Size-m domain, m = 2^(s+1): the union S ∪ shift·S of two maximal
+    2-adic subgroups, shift = g^2 (extended_radix2_domain.tcc:21-199,
+    coset_shift at field_utils.tcc:20-25).  Lets a field with 2-adicity s
+    host domains one power of two larger than its root tower."""
+
+    def __init__(self, F: Fp, m: int):
+        if m <= 1 or m & (m - 1) or (m.bit_length() - 1) != F.spec.s + 1:
+            raise ValueError("ExtendedRadix2Domain needs m == 2^(s+1)")
+        self.F = F
+        self.n = self.m = m
+        self.small_m = m // 2
+        p = F.p
+        self.omega = F.spec.get_root_of_unity(self.small_m)
+        self.omega_inv = pow(self.omega, -1, p)
+        self.g = F.spec.multiplicative_generator
+        self.shift = self.g * self.g % p
+        self.shift_inv = pow(self.shift, -1, p)
+        self.shift_to_small_m = pow(self.shift, self.small_m, p)
+
+    # ---- transforms ------------------------------------------------------
+    def fft(self, a):
+        """tcc:48-75: fold into two half-size coefficient vectors, FFT
+        each on S and shift*S."""
+        F = self.F
+        sm = self.small_m
+        lo, hi = a[:, :sm], a[:, sm:]
+        a0 = F.add(lo, hi)
+        shifted = F.add(lo, F.mul_const(hi, F.const(self.shift_to_small_m)))
+        a1 = F.mul(shifted, _power_vector(F, self.shift, sm))
+        a0 = basic_radix2_fft(F, a0, self.omega)
+        a1 = basic_radix2_fft(F, a1, self.omega)
+        return jnp.concatenate([a0, a1], axis=1)
+
+    def ifft(self, a):
+        """tcc:77-103 (the 1/small_m scale is folded into sconst)."""
+        F = self.F
+        p = F.p
+        sm = self.small_m
+        a0 = basic_radix2_fft(F, a[:, :sm], self.omega_inv)
+        a1 = basic_radix2_fft(F, a[:, sm:], self.omega_inv)
+        sconst = pow(sm * (1 - self.shift_to_small_m) % p, -1, p)
+        a1s = F.mul(a1, _power_vector(F, self.shift_inv, sm))
+        t0 = F.mul_const(a0, F.const(self.shift_to_small_m))
+        lo = F.mul_const(F.sub(a1s, t0), F.const(sconst))
+        hi = F.mul_const(F.sub(a0, a1s), F.const(sconst))
+        return jnp.concatenate([lo, hi], axis=1)
+
+    def coset_fft(self, a):
+        return self.fft(self.F.mul(a, _power_vector(self.F, self.g, self.m)))
+
+    def icoset_fft(self, a):
+        out = self.ifft(a)
+        return self.F.mul(out, _power_vector(self.F, pow(self.g, -1, self.F.p), self.m))
+
+    def divide_by_z_on_coset(self, a):
+        """tcc:173-195: Z is constant on each half of the coset."""
+        F = self.F
+        p = F.p
+        sm = self.small_m
+        c_sm = pow(self.g, sm, p)
+        s_sm = self.shift_to_small_m
+        Z0 = (c_sm - 1) * (c_sm - s_sm) % p
+        Z1 = (c_sm * s_sm - 1) * (c_sm * s_sm - s_sm) % p
+        lo = F.mul_const(a[:, :sm], F.const(pow(Z0, -1, p)))
+        hi = F.mul_const(a[:, sm:], F.const(pow(Z1, -1, p)))
+        return jnp.concatenate([lo, hi], axis=1)
+
+    # ---- host-side scalar helpers -----------------------------------------
+    def get_domain_element(self, i: int) -> int:
+        p = self.F.p
+        if i < self.small_m:
+            return pow(self.omega, i, p)
+        return self.shift * pow(self.omega, i - self.small_m, p) % p
+
+    def compute_vanishing_polynomial(self, t: int) -> int:
+        p = self.F.p
+        tm = pow(t, self.small_m, p)
+        return (tm - 1) * (tm - self.shift_to_small_m) % p
+
+    def add_poly_Z(self, coeff: int, H: list):
+        """tcc:160-171: Z(x) = (x^sm - 1)(x^sm - shift^sm)."""
+        p = self.F.p
+        H[self.m] = (H[self.m] + coeff) % p
+        H[self.small_m] = (H[self.small_m] - coeff * (self.shift_to_small_m + 1)) % p
+        H[0] = (H[0] + coeff * self.shift_to_small_m) % p
+
+    def evaluate_all_lagrange_polynomials(self, t: int) -> np.ndarray:
+        """tcc:119-140."""
+        p = self.F.p
+        sm = self.small_m
+        base = Radix2Domain(self.F, sm)
+        T0 = base.evaluate_all_lagrange_polynomials(t)
+        T1 = base.evaluate_all_lagrange_polynomials(t * self.shift_inv % p)
+        t_sm = pow(t, sm, p)
+        s_sm = self.shift_to_small_m
+        inv_den = pow((s_sm - 1) % p, -1, p)
+        c0 = (t_sm - s_sm) * (-inv_den) % p
+        c1 = (t_sm - 1) * inv_den % p
+        out = [int(v) * c0 % p for v in T0] + [int(v) * c1 % p for v in T1]
+        return np.array(out, dtype=object)
+
+
+class StepRadix2Domain:
+    """Size-m domain, m = 2^k + 2^r (r < k): a size-2^k subgroup plus a
+    shifted size-2^r subgroup (step_radix2_domain.tcc:20-276) — the
+    tightest fit for sizes just over a power of two."""
+
+    def __init__(self, F: Fp, m: int):
+        if m <= 1:
+            raise ValueError("StepRadix2Domain needs m > 1")
+        big_m = 1 << (m.bit_length() - 1)
+        small_m = m - big_m
+        if small_m == 0 or small_m & (small_m - 1):
+            raise ValueError(f"size {m} is not 2^k + 2^r")
+        self.F = F
+        self.n = self.m = m
+        self.big_m = big_m
+        self.small_m = small_m
+        p = F.p
+        self.omega = F.spec.get_root_of_unity(2 * big_m)  # 2^ceil(log2 m)
+        self.big_omega = self.omega * self.omega % p
+        self.small_omega = F.spec.get_root_of_unity(small_m)
+        self.g = F.spec.multiplicative_generator
+
+    def fft(self, a):
+        """tcc:56-100."""
+        F = self.F
+        p = F.p
+        bm, sm = self.big_m, self.small_m
+        omega_pow = _power_vector(F, self.omega, bm)
+        lo, hi = a[:, :bm], a[:, bm:]
+        # c = lo + [hi, 0...]; d = omega^i * (lo - [hi, 0...])
+        hi_pad = jnp.concatenate([hi, F.zeros((bm - sm,))], axis=1)
+        mask = (jnp.arange(bm) < sm)[None, :]
+        c = jnp.where(mask, F.add(lo, hi_pad), lo)
+        d = F.mul(jnp.where(mask, F.sub(lo, hi_pad), lo), omega_pow)
+        # e[i] = sum_j d[i + j*small_m]
+        e = d.reshape(48, bm // sm, sm)
+        acc = e[:, 0, :]
+        for j in range(1, bm // sm):
+            acc = F.add(acc, e[:, j, :])
+        c = basic_radix2_fft(F, c, self.big_omega)
+        ef = basic_radix2_fft(F, acc, self.small_omega)
+        return jnp.concatenate([c, ef], axis=1)
+
+    def ifft(self, a):
+        """tcc:102-171."""
+        F = self.F
+        p = F.p
+        bm, sm = self.big_m, self.small_m
+        U0 = basic_radix2_fft(F, a[:, :bm], pow(self.big_omega, -1, p))
+        U1 = basic_radix2_fft(F, a[:, bm:], pow(self.small_omega, -1, p))
+        U0 = F.mul_const(U0, F.const(pow(bm, -1, p)))
+        U1 = F.mul_const(U1, F.const(pow(sm, -1, p)))
+        tmp = F.mul(U0, _power_vector(F, self.omega, bm))
+        # U1[i] -= sum_{j>=1} tmp[i + j*small_m]
+        t = tmp.reshape(48, bm // sm, sm)
+        acc = t[:, 1, :] if bm // sm > 1 else F.zeros((sm,))
+        for j in range(2, bm // sm):
+            acc = F.add(acc, t[:, j, :])
+        U1 = F.sub(U1, acc)
+        U1 = F.mul(U1, _power_vector(F, pow(self.omega, -1, p), sm))
+        half = F.const(pow(2, -1, p))
+        prefix = F.mul_const(F.add(U0[:, :sm], U1), half)
+        B2 = F.mul_const(F.sub(U0[:, :sm], U1), half)
+        return jnp.concatenate([prefix, U0[:, sm:], B2], axis=1)
+
+    def coset_fft(self, a):
+        return self.fft(self.F.mul(a, _power_vector(self.F, self.g, self.m)))
+
+    def icoset_fft(self, a):
+        out = self.ifft(a)
+        return self.F.mul(out, _power_vector(self.F, pow(self.g, -1, self.F.p), self.m))
+
+    def divide_by_z_on_coset(self, a):
+        """tcc:238-276: per-element constants on the big part, one
+        constant on the small part — all precomputed host-side."""
+        F = self.F
+        p = F.p
+        bm, sm = self.big_m, self.small_m
+        c = self.g
+        Z0 = (pow(c, bm, p) - 1) % p
+        c_sm_Z0 = pow(c, sm, p) * Z0 % p
+        w_sm_Z0 = pow(self.omega, sm, p) * Z0 % p
+        w_2sm = pow(self.omega, 2 * sm, p)
+        inv0 = []
+        elt = 1
+        for _ in range(bm):
+            inv0.append(pow((c_sm_Z0 * elt - w_sm_Z0) % p, -1, p))
+            elt = elt * w_2sm % p
+        cw = c * self.omega % p
+        Z1 = (pow(cw, bm, p) - 1) * (pow(cw, sm, p) - pow(self.omega, sm, p)) % p
+        lo = F.mul(a[:, :bm], jnp.asarray(
+            ints_to_limbs([F.spec.to_mont(v) for v in inv0])))
+        hi = F.mul_const(a[:, bm:], F.const(pow(Z1, -1, p)))
+        return jnp.concatenate([lo, hi], axis=1)
+
+    # ---- host-side scalar helpers -----------------------------------------
+    def get_domain_element(self, i: int) -> int:
+        p = self.F.p
+        if i < self.big_m:
+            return pow(self.big_omega, i, p)
+        return self.omega * pow(self.small_omega, i - self.big_m, p) % p
+
+    def compute_vanishing_polynomial(self, t: int) -> int:
+        p = self.F.p
+        return (pow(t, self.big_m, p) - 1) * (
+            pow(t, self.small_m, p) - pow(self.omega, self.small_m, p)
+        ) % p
+
+    def add_poly_Z(self, coeff: int, H: list):
+        """tcc:225-236."""
+        p = self.F.p
+        w_sm = pow(self.omega, self.small_m, p)
+        H[self.m] = (H[self.m] + coeff) % p
+        H[self.big_m] = (H[self.big_m] - coeff * w_sm) % p
+        H[self.small_m] = (H[self.small_m] - coeff) % p
+        H[0] = (H[0] + coeff * w_sm) % p
+
+    def evaluate_all_lagrange_polynomials(self, t: int) -> np.ndarray:
+        """tcc:189-214."""
+        p = self.F.p
+        bm, sm = self.big_m, self.small_m
+        inner_big = Radix2Domain(self.F, bm).evaluate_all_lagrange_polynomials(t)
+        inner_small = Radix2Domain(self.F, sm).evaluate_all_lagrange_polynomials(
+            t * pow(self.omega, -1, p) % p
+        )
+        L0 = (pow(t, sm, p) - pow(self.omega, sm, p)) % p
+        w_sm = pow(self.omega, sm, p)
+        bw_sm = pow(self.big_omega, sm, p)
+        out = [0] * self.m
+        elt = 1
+        for i in range(bm):
+            out[i] = int(inner_big[i]) * L0 % p * pow((elt - w_sm) % p, -1, p) % p
+            elt = elt * bw_sm % p
+        L1 = (pow(t, bm, p) - 1) * pow((pow(self.omega, bm, p) - 1) % p, -1, p) % p
+        for i in range(sm):
+            out[bm + i] = L1 * int(inner_small[i]) % p
+        return np.array(out, dtype=object)
+
 
 def get_evaluation_domain(F: Fp, n: int):
-    """Domain selection: basic radix-2 for powers of two; mixed 2^a*5^b
-    when the field supports it (get_evaluation_domain.tcc:60-90 picks the
-    best-fit domain; both challenge configs are exact powers of two)."""
+    """Domain selection, mirroring get_evaluation_domain.tcc:60-90's
+    basic -> extended -> step preference order, plus the mixed-radix
+    2^a*5^b domain for small-subgroup fields (MNT6753-Fr)."""
     if n >= 2 and (n & (n - 1)) == 0:
-        return Radix2Domain(F, n)
+        if n.bit_length() - 1 <= F.spec.s:
+            return Radix2Domain(F, n)
+        if n.bit_length() - 1 == F.spec.s + 1:
+            return ExtendedRadix2Domain(F, n)
+    if n > 1 and (n & (n - 1)):
+        big = 1 << (n.bit_length() - 1)
+        small = n - big
+        if small and not (small & (small - 1)) and n.bit_length() <= F.spec.s:
+            return StepRadix2Domain(F, n)
     if F.spec.small_subgroup_base:
         return MixedRadixDomain(F, n)
     raise ValueError(f"no evaluation domain of size {n} for this field")

@@ -13,13 +13,11 @@ each step is a full-width VPU op instead of a per-thread carry chain.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.primes import PrimeSpec, N_LIMBS, R_BITS
+from ..models.primes import PrimeSpec, N_LIMBS
 from ..utils.bigint import int_to_limbs
 from . import limbs as lb
 

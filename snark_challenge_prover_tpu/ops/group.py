@@ -19,8 +19,6 @@ uint32[48, *batch]; for G2 over Fq2, uint32[2, 48, *batch].
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax.numpy as jnp
 
 

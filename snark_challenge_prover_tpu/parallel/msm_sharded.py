@@ -12,8 +12,6 @@ the combine is an explicit log-depth masked-add fold of the gathered
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

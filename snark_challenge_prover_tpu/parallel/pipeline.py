@@ -12,12 +12,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import msm as msm_mod
 from ..ops.fft import get_evaluation_domain
 from ..proof_systems.groth16 import compute_h
-from .mesh import DATA_AXIS, make_mesh
+from .mesh import DATA_AXIS
 from .msm_sharded import msm_multi_sharded
 
 
@@ -33,17 +33,49 @@ def _pad_to(arrs, mult: int):
     return out
 
 
+def compute_h_sharded(mesh: Mesh, model, ca, cb, cc):
+    """compute_H with every FFT pass distributed via the 4-step method
+    (parallel/fft_sharded.py): 7 sharded transforms + pointwise ops, the
+    TPU analogue of the reference's OpenMP parallel FFT phase
+    (basic_radix2_domain_aux.tcc:218-296)."""
+    from .fft_sharded import (
+        coset_fft_sharded,
+        icoset_fft_sharded,
+        ifft_sharded,
+    )
+
+    F = model.Fr
+    n = ca.shape[1]
+    a = coset_fft_sharded(mesh, F, ifft_sharded(mesh, F, ca))
+    b = coset_fft_sharded(mesh, F, ifft_sharded(mesh, F, cb))
+    hab = F.mul(a, b)
+    cvals = coset_fft_sharded(mesh, F, ifft_sharded(mesh, F, cc))
+    h = F.sub(hab, cvals)
+    p = F.p
+    g = F.spec.multiplicative_generator
+    zinv = pow(pow(g, n, p) - 1, -1, p)
+    h = F.mul_const(h, F.const(zinv))
+    return icoset_fft_sharded(mesh, F, h)
+
+
 def prove_step_sharded(mesh: Mesh, model, params_dev, input_dev, d: int, m: int,
-                       c: int | None = None, scan_impl: str = "hillis"):
+                       c: int | None = None, scan_impl: str = "hillis",
+                       sharded_fft: bool = False):
     """Jittable distributed prove: same math as ChallengeProver._prove_core
-    with the MSMs sharded along the point stream."""
+    with the MSMs sharded along the point stream.  With sharded_fft the
+    compute_H FFT stack also distributes (requires d+1 >= D^2)."""
     F = model.Fr
     G1, G2 = model.G1, model.G2
     D = mesh.shape[DATA_AXIS]
     domain = get_evaluation_domain(F, d + 1)
 
     w = input_dev["w"]
-    h = compute_h(model, domain, input_dev["ca"], input_dev["cb"], input_dev["cc"])
+    if sharded_fft:
+        h = compute_h_sharded(
+            mesh, model, input_dev["ca"], input_dev["cb"], input_dev["cc"]
+        )
+    else:
+        h = compute_h(model, domain, input_dev["ca"], input_dev["cb"], input_dev["cc"])
 
     w_can = F.to_canonical(w)
     h_can = F.to_canonical(h[:, :d])
@@ -77,4 +109,7 @@ def prove_step_sharded(mesh: Mesh, model, params_dev, input_dev, d: int, m: int,
 
     rBt1 = G1.scalar_mul_limbs(Bt1, r_can)
     C = G1.add(G1.add(Ht, Lt), rBt1)
-    return (G1.to_affine(At), G2.to_affine(Bt2), G1.to_affine(C))
+    # projective outputs: the unique-affine conversion + byte packing is
+    # the O(1) host tail (proof_systems.groth16.prove_arrays); keeping it
+    # out of the step trims two batch-inversion scans from the graph
+    return (At, Bt2, C)

@@ -1,4 +1,4 @@
-"""Groth16 prover pipelines.
+"""Groth16 challenge-prover pipeline.
 
 `ChallengeProver` reproduces the SNARK-challenge pipeline byte-for-byte
 (libsnark/main.cpp:188-272):
@@ -12,22 +12,29 @@
     C      = Ht + Lt + r * Bt1
     proof  = (At affine, Bt2 affine, C affine)   # 96-byte Montgomery LE
 
-The whole numeric path is one jitted program per (d, m) shape; I/O and
-byte packing stay on the host.
+The numeric path is staged into three jitted programs — the FFT stack,
+the fused G1 multi-MSM, and the G2 MSM — rather than one monolith: the
+pieces compile an order of magnitude faster (XLA's compile passes are
+superlinear in graph size) and cache/reuse independently across d/m
+shapes.  The O(1) tail (C = Ht + Lt + r·Bt1, affine conversion, byte
+packing) runs on host exact integers, which is bit-identical by
+construction: affine coordinates are the unique canonical
+representatives either way.
 """
 
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..host.curves import host_curve
 from ..io import serialization as ser
 from ..ops import msm as msm_mod
 from ..ops.fft import get_evaluation_domain
+from ..utils.bigint import limbs_to_int
 from ..utils.profiling import enter_block, leave_block
 
 
@@ -45,59 +52,100 @@ def compute_h(model, domain, ca, cb, cc):
     return domain.icoset_fft(h)
 
 
+def _planes_to_int(spec, planes) -> int:
+    return spec.from_mont(limbs_to_int(np.asarray(planes).reshape(48, -1)[:, 0]))
+
+
+def _g1_proj_to_host(model, P):
+    """Projective Montgomery planes (batch (1,)) -> host affine ints/None."""
+    q = model.Fq.p
+    spec = model.Fq.spec
+    X, Y, Z = (_planes_to_int(spec, t) for t in P)
+    if Z == 0:
+        return None
+    zi = pow(Z, -1, q)
+    return (X * zi % q, Y * zi % q)
+
+
+def _g2_proj_to_host(model, P):
+    q = model.Fq.p
+    spec = model.Fq.spec
+    deg = np.asarray(P[0]).shape[0]
+
+    def comp(t):
+        arr = np.asarray(t).reshape(deg, 48, -1)[:, :, 0]
+        return tuple(spec.from_mont(limbs_to_int(arr[i])) for i in range(deg))
+
+    X, Y, Z = (comp(t) for t in P)
+    hc = host_curve(model.name)
+    F = hc.g2.F
+    if all(c == 0 for c in Z):
+        return None
+    zi = F.inv(Z)
+    return (F.mul(X, zi), F.mul(Y, zi))
+
+
 class ChallengeProver:
-    """One curve's challenge prover; compile once per parameter shape."""
+    """One curve's challenge prover; each stage compiles once per
+    parameter shape."""
 
     def __init__(self, model, msm_window: int | None = None):
         self.model = model
         self.msm_window = msm_window
+        self._jit_cache = {}
 
-    # ------------------------------------------------------------------
-    def _prove_core(self, params_dev, input_dev, d: int, m: int):
-        """Pure jittable function of device arrays."""
+    def _jitted(self, key, fn):
+        """One jitted callable per (stage, shape) for the prover's
+        lifetime — repeat proofs skip retracing."""
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    # ---- staged device programs ----------------------------------------
+    def _h_stage(self, ca, cb, cc, w, d: int):
+        """compute_H + canonical-scalar conversion, one jit."""
         model = self.model
         F = model.Fr
-        G1, G2 = model.G1, model.G2
         domain = get_evaluation_domain(F, d + 1)
+        h = compute_h(model, domain, ca, cb, cc)
+        return F.to_canonical(h[:, :d]), F.to_canonical(w)
 
-        w = input_dev["w"]
-        h = compute_h(model, domain, input_dev["ca"], input_dev["cb"], input_dev["cc"])
+    def _g1_stage(self, A, B1, H, L, w_can, h_can, ips: int = 1):
+        """The four G1 MSMs fused into one program (A, B1, H, L share the
+        Horner doubling chain; zero-padding is free)."""
+        model = self.model
+        F, G1 = model.Fr, model.G1
 
-        # canonical scalar values drive the bucket digits
-        w_can = F.to_canonical(w)
-        h_can = F.to_canonical(h[:, :d])
-        r_can = F.to_canonical(input_dev["r"])
+        def pts(pair):
+            return G1.from_affine(pair[0], pair[1])
 
-        c = self.msm_window
-
-        def G1pts(key):
-            x, y = params_dev[key]
-            return G1.from_affine(x, y)
-
-        # the four G1 MSMs share one fused program (and its sequential
-        # Horner doubling chain); zero-scalar padding is free
         pts4, scal4 = msm_mod.pad_and_stack(
             F,
-            [G1pts("A"), G1pts("B1"), G1pts("H"), G1pts("L")],
-            [w_can, w_can, h_can, w_can[:, 2:]],
+            [pts(A), pts(B1), pts(H), pts(L)],
+            [w_can, w_can, h_can, w_can[:, 1 + ips :]],
         )
-        g1_res = msm_mod.msm_multi(G1, pts4, scal4, c)
-        At = tuple(t[..., 0:1] for t in g1_res)
-        Bt1 = tuple(t[..., 1:2] for t in g1_res)
-        Ht = tuple(t[..., 2:3] for t in g1_res)
-        Lt = tuple(t[..., 3:4] for t in g1_res)
+        return msm_mod.msm_multi(G1, pts4, scal4, self.msm_window)
 
-        x2, y2 = params_dev["B2"]
-        Bt2 = msm_mod.msm(G2, G2.from_affine(x2, y2), w_can, c)
+    def _g2_stage(self, B2, w_can):
+        model = self.model
+        G2 = model.G2
+        return msm_mod.msm(G2, G2.from_affine(B2[0], B2[1]), w_can,
+                           self.msm_window)
 
-        rBt1 = G1.scalar_mul_limbs(Bt1, r_can)
-        C = G1.add(G1.add(Ht, Lt), rBt1)
-
-        return (
-            G1.to_affine(At),
-            G2.to_affine(Bt2),
-            G1.to_affine(C),
+    def device_step(self, params_dev, input_dev, d: int, m: int):
+        """The full device compute of one prove step as a single jittable
+        function (used by the driver's single-chip compile check): FFT
+        stack + fused G1 MSMs + G2 MSM, returning projective results."""
+        h_can, w_can = self._h_stage(
+            input_dev["ca"], input_dev["cb"], input_dev["cc"],
+            input_dev["w"], d,
         )
+        g1 = self._g1_stage(
+            params_dev["A"], params_dev["B1"], params_dev["H"],
+            params_dev["L"], w_can, h_can,
+        )
+        g2 = self._g2_stage(params_dev["B2"], w_can)
+        return g1, g2
 
     # ------------------------------------------------------------------
     def prove_files(self, params_path: str, input_path: str, output_path=None):
@@ -124,30 +172,78 @@ class ChallengeProver:
         return data
 
     def prove_arrays(self, params: ser.Groth16Params, inp: ser.Groth16Input):
-        """Host numpy params/input -> affine proof tuple (device arrays)."""
+        """Host numpy params/input -> affine proof tuple (limb planes),
+        staged: 3 device programs + O(1) host assembly."""
+        model = self.model
         d, m = params.d, params.m
-        params_dev = {
-            "A": tuple(jnp.asarray(a) for a in params.A),
-            "B1": tuple(jnp.asarray(a) for a in params.B1),
-            "B2": tuple(jnp.asarray(a) for a in params.B2),
-            "L": tuple(jnp.asarray(a) for a in params.L),
-            "H": tuple(jnp.asarray(a) for a in params.H),
-        }
-        input_dev = {
-            "w": jnp.asarray(inp.w),
-            "ca": jnp.asarray(inp.ca),
-            "cb": jnp.asarray(inp.cb),
-            "cc": jnp.asarray(inp.cc),
-            "r": jnp.asarray(inp.r),
-        }
-        enter_block("prove (jit)")
-        fn = jax.jit(
-            functools.partial(self._prove_core, d=d, m=m),
+        fqs = model.Fq.spec
+        frs = model.Fr.spec
+
+        enter_block("compute H (jit)")
+        h_can, w_can = self._jitted(
+            ("h", d), functools.partial(self._h_stage, d=d)
+        )(
+            jnp.asarray(inp.ca), jnp.asarray(inp.cb), jnp.asarray(inp.cc),
+            jnp.asarray(inp.w),
         )
-        out = fn(params_dev, input_dev)
-        out = jax.tree_util.tree_map(lambda x: np.asarray(x), out)
-        leave_block("prove (jit)")
-        return out
+        h_can = jax.block_until_ready(h_can)
+        leave_block("compute H (jit)")
+
+        enter_block("G1 multiexp x4 (jit)")
+        g1_res = self._jitted(("g1", d, m), self._g1_stage)(
+            tuple(jnp.asarray(a) for a in params.A),
+            tuple(jnp.asarray(a) for a in params.B1),
+            tuple(jnp.asarray(a) for a in params.H),
+            tuple(jnp.asarray(a) for a in params.L),
+            w_can, h_can,
+        )
+        g1_res = jax.block_until_ready(g1_res)
+        leave_block("G1 multiexp x4 (jit)")
+
+        enter_block("G2 multiexp (jit)")
+        g2_res = self._jitted(("g2", m), self._g2_stage)(
+            tuple(jnp.asarray(a) for a in params.B2), w_can
+        )
+        g2_res = jax.block_until_ready(g2_res)
+        leave_block("G2 multiexp (jit)")
+
+        enter_block("assemble proof (host)")
+        hc = host_curve(model.name)
+        At, Bt1, Ht, Lt = (
+            _g1_proj_to_host(model, tuple(t[..., i : i + 1] for t in g1_res))
+            for i in range(4)
+        )
+        Bt2 = _g2_proj_to_host(model, g2_res)
+        r_int = frs.from_mont(limbs_to_int(np.asarray(inp.r).reshape(48, -1)[:, 0]))
+        C = hc.g1.add(hc.g1.add(Ht, Lt), hc.g1.mul(r_int, Bt1))
+        leave_block("assemble proof (host)")
+
+        # back to Montgomery limb planes for the writer
+        from ..utils.bigint import int_to_limbs
+
+        def g1_planes(P):
+            if P is None:
+                z = np.zeros(48, np.uint32)
+                return (z, z, z)
+            return (
+                int_to_limbs(fqs.to_mont(P[0])),
+                int_to_limbs(fqs.to_mont(P[1])),
+                int_to_limbs(fqs.to_mont(1)),
+            )
+
+        def g2_planes(P):
+            deg = 2 if model.name == "MNT4753" else 3
+            if P is None:
+                z = np.zeros((deg, 48), np.uint32)
+                return (z, z, z)
+            X = np.stack([int_to_limbs(fqs.to_mont(c)) for c in P[0]])
+            Y = np.stack([int_to_limbs(fqs.to_mont(c)) for c in P[1]])
+            Z = np.stack(
+                [int_to_limbs(fqs.to_mont(1 if i == 0 else 0)) for i in range(deg)]
+            )
+            return (X, Y, Z)
+
+        return (g1_planes(At), g2_planes(Bt2), g1_planes(C))
 
 
 class _NullSink:
