@@ -54,8 +54,10 @@ def _stage_twiddle_tables(F: "Fp", n: int, omega: int):
 
 
 @lru_cache(maxsize=None)
-def _bit_rev(n: int):
-    return jnp.asarray(_bit_reverse_perm(n))
+def _bit_rev(n: int) -> np.ndarray:
+    # numpy, NOT jnp: a jnp constant materialized during a trace is a
+    # tracer, and caching it would leak it into later traces
+    return _bit_reverse_perm(n)
 
 
 def basic_radix2_fft(F: "Fp", a, omega: int):
@@ -609,10 +611,18 @@ def get_evaluation_domain(F: Fp, n: int):
         if n.bit_length() - 1 == F.spec.s + 1:
             return ExtendedRadix2Domain(F, n)
     if n > 1 and (n & (n - 1)):
+        # the reference's basic_radix2_domain itself accepts 2^a*5^b
+        # sizes for small-subgroup fields (aux.tcc:46-166), so mixed
+        # outranks step in the preference order
+        if F.spec.small_subgroup_base:
+            q = F.spec.small_subgroup_base
+            rest = n // (n & (-n))
+            while rest % q == 0:
+                rest //= q
+            if rest == 1:
+                return MixedRadixDomain(F, n)
         big = 1 << (n.bit_length() - 1)
         small = n - big
         if small and not (small & (small - 1)) and n.bit_length() <= F.spec.s:
             return StepRadix2Domain(F, n)
-    if F.spec.small_subgroup_base:
-        return MixedRadixDomain(F, n)
     raise ValueError(f"no evaluation domain of size {n} for this field")

@@ -30,6 +30,8 @@ class Curve:
         self.F = F
         self.a = coeff_a  # field constant, component/limb planes, no batch
         self.b = coeff_b
+        # 3b, used by the complete addition formula (tiny eager compute)
+        self.b3 = F.add(coeff_b, F.add(coeff_b, coeff_b))
         self.name = name
 
     # ---- constructors ---------------------------------------------------
@@ -86,9 +88,57 @@ class Curve:
         return self.select(self.is_zero(P), P, (X3, Y3, Z3))
 
     def add(self, P, Q):
-        """Complete (masked) projective addition: generic add-1998-cmo-2
+        """Complete projective addition (Renes-Costello-Batina 2015,
+        Algorithm 1 for arbitrary a): 12M + 3m_a + 2m_3b + 23 add/sub,
+        no case distinctions at all — identity, doubling, and inverse
+        pairs all fall out of the one formula, which is exceptional-free
+        on odd-order subgroups (both MNT G1 and the r-order G2 subgroup).
+
+        This replaces the reference's branchy add-1998-cmo-2
+        (mnt4753_g1.cpp:220-264): its is_zero/equality branches would
+        need masked evaluation of BOTH the generic add and the doubling
+        formula (kept below as add_masked), doubling the already huge
+        vectorized-bignum graph.  Group elements produced are identical
+        (different projective representatives, same affine point)."""
+        F = self.F
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        a = self._a_const(X1)
+        b3 = self._b3_const(X1)
+
+        t0 = F.mul(X1, X2)
+        t1 = F.mul(Y1, Y2)
+        t2 = F.mul(Z1, Z2)
+        t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+        t3 = F.sub(t3, F.add(t0, t1))
+        t4 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+        t4 = F.sub(t4, F.add(t0, t2))
+        t5 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+        t5 = F.sub(t5, F.add(t1, t2))
+        Z3 = F.add(F.mul(b3, t2), F.mul(a, t4))
+        X3 = F.sub(t1, Z3)
+        Z3 = F.add(t1, Z3)
+        Y3 = F.mul(X3, Z3)
+        t1 = F.add(F.add(t0, t0), t0)          # 3*t0
+        t2a = F.mul(a, t2)
+        t4b = F.mul(b3, t4)
+        t1 = F.add(t1, t2a)
+        t2 = F.mul(a, F.sub(t0, t2a))
+        t4 = F.add(t4b, t2)
+        Y3 = F.add(Y3, F.mul(t1, t4))
+        X3 = F.sub(F.mul(t3, X3), F.mul(t5, t4))
+        Z3 = F.add(F.mul(t5, Z3), F.mul(t3, t1))
+        return (X3, Y3, Z3)
+
+    def _b3_const(self, like):
+        extra = like.ndim - self.b3.ndim
+        return self.b3.reshape(self.b3.shape + (1,) * extra)
+
+    def add_masked(self, P, Q):
+        """The reference-shaped masked addition: generic add-1998-cmo-2
         (mnt4753_g1.cpp:220-264) blended with doubling and the
-        zero/inverse degeneracies."""
+        zero/inverse degeneracies.  Kept as a cross-check oracle for
+        the complete formula (tests) — ~2x the graph of add()."""
         F = self.F
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q

@@ -55,22 +55,30 @@ def _carry_pass(x):
     return lo + shift_up(hi, 1)
 
 
-def _ks_combine(a, b):
-    """Carry-recurrence composition: c' = g | (p & c).
-    a happens first (lower limbs), b second."""
-    g_a, p_a = a
-    g_b, p_b = b
-    return g_b | (p_b & g_a), p_a & p_b
+def _hs_scan(g, p):
+    """Inclusive Kogge-Stone carry scan along axis 0, hand-rolled as
+    Hillis-Steele rounds of whole-array shifts: ~4 HLO ops per round vs
+    the slicing recursion jax.lax.associative_scan emits — the group-law
+    graphs are built from thousands of these, so graph size is compile
+    time (PLAN.md compile-time notes)."""
+    L = g.shape[0]
+    d = 1
+    while d < L:
+        gs = jnp.concatenate([jnp.zeros((d,) + g.shape[1:], g.dtype), g[:-d]], 0)
+        ps = jnp.concatenate([jnp.zeros((d,) + p.shape[1:], p.dtype), p[:-d]], 0)
+        g = g | (p & gs)
+        p = p & ps
+        d *= 2
+    return g
 
 
 def resolve_carries(x):
     """Exact carry resolution for limbs with values <= 2^17-1 (i.e. after
-    _carry_pass reductions).  Kogge-Stone over jax.lax.associative_scan.
-    Carry out of the top limb is dropped."""
+    _carry_pass reductions).  Carry out of the top limb is dropped."""
     s = x & LIMB_MASK
     g = (x >> LIMB_BITS).astype(jnp.bool_)  # in {0,1} by precondition
     p = s == LIMB_MASK
-    gs, _ = jax.lax.associative_scan(_ks_combine, (g, p), axis=0)
+    gs = _hs_scan(g, p)
     # carry INTO limb k is the aggregate of limbs [0, k)
     c = jnp.concatenate([_zeros_like_row(gs.astype(_u32), 1), gs[:-1].astype(_u32)], 0)
     return (s + c) & LIMB_MASK
@@ -136,7 +144,7 @@ def sub_borrow(a, b):
     s = a.astype(_i32) - b.astype(_i32)  # in (-2^16, 2^16)
     g = s < 0
     p = s == 0
-    gs, _ = jax.lax.associative_scan(_ks_combine, (g, p), axis=0)
+    gs = _hs_scan(g, p)
     c = jnp.concatenate([jnp.zeros((1,) + gs.shape[1:], _i32), gs[:-1].astype(_i32)], 0)
     d = s - c
     borrow_out = gs[-1]

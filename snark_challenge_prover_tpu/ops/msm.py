@@ -87,7 +87,11 @@ def _ec_scan(curve: Curve, elems, axis: int, reverse: bool = False,
 
     def level(t, state):
         d = jnp.left_shift(jnp.int32(1), t)
-        sh = 1 if reverse else -1
+        # prefix: state[i] += state[i-d]  (roll +d), update where i >= d
+        # suffix: state[i] += state[i+d]  (roll -d), update where i < n-d
+        # jnp.roll wraps, so the validity mask must exclude exactly the
+        # wrapped positions or foreign partials leak into the sums
+        sh = -1 if reverse else 1
         shifted = tuple(jnp.roll(s, sh * d, axis=axis) for s in state)
         comb = curve.add(shifted, state)
         valid = (idx < n - d) if reverse else (idx >= d)

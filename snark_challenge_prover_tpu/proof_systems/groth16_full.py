@@ -215,36 +215,40 @@ def generator(model, cs: R1CSConstraintSystem, rng) -> Keypair:
     with block("G2 window table"):
         t2 = fixed_base.get_window_table(model.G2, w2, g2_base)
 
-    def canon(vals):
-        return jnp.asarray(ints_to_limbs(list(vals)))
-
-    run = jax.jit(
-        lambda tab, s: model.G1.to_affine(
-            fixed_base.batch_exp(model.G1, w1, tab, s)
-        ),
-        static_argnums=(),
+    # the four G1 queries (A, B1, L, and H pre-scaled by Zt/delta) share
+    # one table and one program: concatenate, exponentiate, split — a
+    # single compile instead of four (the H coefficient Zt*delta^{-1} is
+    # folded into its scalars on host, exactly batch_exp_with_coeff's
+    # semantics, multiexp.tcc:649)
+    zdt_int = inst.Zt * delta_inv % r_p
+    all_scalars = (
+        list(inst.At)
+        + list(inst.Bt)
+        + list(Lt)
+        + [zdt_int * h % r_p for h in Ht]
     )
-    with block("A query"):
-        A_aff = jax.block_until_ready(run(t1, canon(inst.At)))
-    with block("L query"):
-        L_aff = jax.block_until_ready(run(t1, canon(Lt)))
-    zdt = F.const(inst.Zt * delta_inv % r_p)
-    with block("H query"):
-        H_aff = jax.jit(
-        lambda tab, s: model.G1.to_affine(
-            fixed_base.batch_exp_with_coeff(
-                model.G1, w1, tab, zdt, s, F
-            )
+    splits = np.cumsum([len(inst.At), len(inst.Bt), len(Lt)])
+    with block("G1 queries (fused)"):
+        g1_all = jax.block_until_ready(
+            jax.jit(
+                lambda tab, s: model.G1.to_affine(
+                    fixed_base.batch_exp(model.G1, w1, tab, s)
+                )
+            )(t1, jnp.asarray(ints_to_limbs(all_scalars)))
         )
-    )(t1, jnp.asarray(_mont_planes(F.spec, Ht)))
+        parts = [np.split(np.asarray(t), splits, axis=-1) for t in g1_all]
+        A_aff = tuple(p[0] for p in parts)
+        Bg1_aff = tuple(p[1] for p in parts)
+        L_aff = tuple(p[2] for p in parts)
+        H_aff = tuple(p[3] for p in parts)
     with block("B query G2"):
-        Bg2_aff = jax.jit(
-        lambda tab, s: model.G2.to_affine(
-            fixed_base.batch_exp(model.G2, w2, tab, s)
+        Bg2_aff = jax.block_until_ready(
+            jax.jit(
+                lambda tab, s: model.G2.to_affine(
+                    fixed_base.batch_exp(model.G2, w2, tab, s)
+                )
+            )(t2, jnp.asarray(ints_to_limbs(list(inst.Bt))))
         )
-    )(t2, canon(inst.Bt))
-    with block("B query G1"):
-        Bg1_aff = jax.block_until_ready(run(t1, canon(inst.Bt)))
 
     # single elements (tcc:312-316) — tiny host muls
     with block("vk singles + pairing"):

@@ -102,8 +102,12 @@ def test_lagrange_polynomials(rng):
 
 
 def test_domain_size_errors():
+    from snark_challenge_prover_tpu.ops.fft import StepRadix2Domain
+
     model = mnt4753.get()
+    # 24 = 16 + 8 is a valid step domain (step_radix2_domain.tcc)
+    assert isinstance(get_evaluation_domain(model.Fr, 24), StepRadix2Domain)
     with pytest.raises(ValueError):
-        get_evaluation_domain(model.Fr, 24)  # not 2^k, no small subgroup
+        get_evaluation_domain(model.Fr, 7)  # 4+2+1: no supported shape
     with pytest.raises(ValueError):
         Radix2Domain(model.Fr, 2 ** 31)  # exceeds 2-adicity s=30

@@ -21,9 +21,11 @@ from snark_challenge_prover_tpu.utils.bigint import ints_to_limbs
 
 @pytest.fixture(scope="module")
 def setup(request):
+    from tests.conftest import cpu_devices
+
     model = mnt4753.get()
     F = model.Fr
-    mesh = make_mesh(8)
+    mesh = make_mesh(8, devices=cpu_devices(8))
     n = 64  # n1 = n2 = 8 on an 8-device mesh
     dom = Radix2Domain(F, n)
     import random
