@@ -85,15 +85,51 @@ class Fp:
         u = lb.normalize(u)  # low 48 limbs are now zero
         return lb.cond_sub(u[self.L :], self.p_limbs)
 
-    def mul(self, a, b):
+    # Batches at least this large route to the fused Pallas TPU kernel
+    # (ops.pallas_field): one VMEM-resident program instead of the XLA
+    # fori/dynamic-update-slice convolutions (33x at 2^20 on v5e).
+    PALLAS_MIN_BATCH = 4096
+
+    def _pallas_eligible(self, batch_shape) -> int:
+        import math
+        import os
+
+        if os.environ.get("SNARK_TPU_PALLAS", "1") == "0":
+            return 0
+        total = math.prod(batch_shape) if batch_shape else 1
+        if total < self.PALLAS_MIN_BATCH or total % 128:
+            return 0
+        try:
+            import jax
+
+            if jax.default_backend() != "tpu":
+                return 0
+        except Exception:
+            return 0
+        return total
+
+    def _mul_dispatch(self, a, b):
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        total = self._pallas_eligible(batch)
+        if total:
+            from .pallas_field import mont_mul_pallas
+
+            A = jnp.broadcast_to(a, (self.L,) + batch).reshape(self.L, total)
+            B = jnp.broadcast_to(b, (self.L,) + batch).reshape(self.L, total)
+            tile = 256 if total % 256 == 0 else 128
+            out = mont_mul_pallas(self.spec, A, B, tile)
+            return out.reshape((self.L,) + batch)
         return self._redc(lb.mul_wide(a, b))
 
+    def mul(self, a, b):
+        return self._mul_dispatch(a, b)
+
     def sqr(self, a):
-        return self._redc(lb.mul_wide(a, a))
+        return self._mul_dispatch(a, a)
 
     def mul_const(self, a, c):
         """a * const where c is a (48,) Montgomery-form constant."""
-        return self._redc(lb.mul_wide(a, lb.bcast_const(c, a)))
+        return self._mul_dispatch(a, lb.bcast_const(c, a))
 
     def mul_small(self, a, k: int):
         """a * k for a small integer k (NOT Montgomery: plain scaling).

@@ -107,7 +107,7 @@ def chinese(F1: Fp, F2: Fp, a, b):
     # (b - a) mod p2: a < p1 < 2*p2 for our prime pair, one cond-sub
     a2 = lb.cond_sub(a, F2.p_limbs)
     diff = F2.sub(F2.from_canonical(b), F2.from_canonical(a2))
-    t = F2.to_canonical(F2.mul(diff, c_mont))  # canonical, < p2
+    t = F2.to_canonical(F2.mul_const(diff, c_mont))  # canonical, < p2
     prod = lb.mul_wide(t, lb.bcast_const(jnp.asarray(int_to_limbs(p1)), t))  # (96,...)
     pad = jnp.zeros((prod.shape[0] - a.shape[0],) + a.shape[1:], a.dtype)
     s = lb.normalize(prod + jnp.concatenate([a, pad], axis=0))
