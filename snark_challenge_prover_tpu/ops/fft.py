@@ -625,4 +625,17 @@ def get_evaluation_domain(F: Fp, n: int):
         small = n - big
         if small and not (small & (small - 1)) and n.bit_length() <= F.spec.s:
             return StepRadix2Domain(F, n)
+    # last-resort sequence domains (get_evaluation_domain.tcc:119-131:
+    # geometric, then arithmetic; geometric never fails for m > 1 so the
+    # arithmetic domain is — as in the reference — only reachable by
+    # direct construction)
+    if n > 1:
+        from .sequence_domains import GeometricSequenceDomain
+
+        try:
+            return GeometricSequenceDomain(F, n)
+        except ValueError:
+            from .sequence_domains import ArithmeticSequenceDomain
+
+            return ArithmeticSequenceDomain(F, n)
     raise ValueError(f"no evaluation domain of size {n} for this field")
