@@ -4,118 +4,155 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 The reference publishes no numbers (BASELINE.md): its baseline is
-operational — `main MNT4753 compute` self-timing.  vs_baseline is
-reported against a measured libsnark-CPU estimate for the same size
-(see BASELINE.md: ~14 Fq muls/G1 add, Bos-Coster ~n*753/log2(n) adds,
-~100ns/753-bit mul on a 16-core Xeon => ~0.09 s at 2^12, scaling ~n).
-That estimate is recorded here as SECONDS_CPU_EST per size.
+operational — `main MNT4753 compute` self-timing.  vs_baseline here is
+MEASURED, not estimated: native/cpu_baseline.cpp reimplements the
+reference's CPU pipeline (CIOS Montgomery mul, branchy projective
+formulas, Pippenger MSM with OpenMP chunking, radix-2 FFT — see its
+header for the file:line map) and is run on the very same fixture
+files; its proof bytes must match ours (large-size byte-exactness
+check, the same sha256 protocol as README.md:46-58).
 
 Environment knobs:
   BENCH_LOG2_D (default 12)  -- domain size exponent (d+1 = 2^k)
   BENCH_CURVE  (default MNT4753)
+  BENCH_CACHE  (default /tmp/snark_bench_cache) -- fixture/baseline cache
+  BENCH_CPU    (default 1; 0 skips the CPU comparator run)
+  BENCH_CPU_TIMEOUT (default 7200 seconds)
 """
 
+import hashlib
 import json
 import os
+import subprocess
 import sys
 import time
+from pathlib import Path
+
+REPO = Path(__file__).parent
 
 
-def main():
-    os.environ.setdefault("SNARK_TPU_PROFILE", "0")
-    log2_d = int(os.environ.get("BENCH_LOG2_D", "12"))
-    curve = os.environ.get("BENCH_CURVE", "MNT4753")
-
+def _gen_fixture_files(curve: str, log2_d: int, pdir: Path):
+    """Synthetic params/input in the challenge wire format (structure of
+    generate_parameters.cpp:60-112 with random points; the prover
+    exercises the identical code path)."""
     import numpy as np
 
     from tools import oracle as orc
-    from snark_challenge_prover_tpu.io import serialization as ser
-    from snark_challenge_prover_tpu.proof_systems.groth16 import ChallengeProver
     from snark_challenge_prover_tpu.models import mnt4753, mnt6753
 
     model = mnt4753.get() if curve == "MNT4753" else mnt6753.get()
-
-    # ---- build a synthetic parameter set directly as limb planes ------
-    # (random points = small multiples of the generator; distribution is
-    # irrelevant for arithmetic cost, exactly like generate_parameters'
-    # synthetic circuit, generate_parameters.cpp:38)
     rng = np.random.default_rng(42)
     d_plus_1 = 1 << log2_d
     d = d_plus_1 - 1
     m = d_plus_1 + 2
-
     cur = orc.ORACLES[curve]()
-    fqs = model.Fq.spec
     frs = model.Fr.spec
 
-    def rand_pts_g1(n):
-        # cheap distinct points: k*G for k in a random arithmetic strip
-        base = cur.g1.mul(7, cur.g1_gen)
-        step = cur.g1.mul(11, cur.g1_gen)
+    def strip_pts(group, gen, count, cap):
+        base = group.mul(7, gen)
+        step = group.mul(11, gen)
         pts = []
         P = base
-        for _ in range(min(n, 256)):
+        for _ in range(min(count, cap)):
             pts.append(P)
-            P = cur.g1.add(P, step)
-        reps = pts * (n // len(pts) + 1)
-        return reps[:n]
-
-    def rand_pts_g2(n):
-        base = cur.g2.mul(7, cur.g2_gen)
-        step = cur.g2.mul(11, cur.g2_gen)
-        pts = []
-        P = base
-        for _ in range(min(n, 128)):
-            pts.append(P)
-            P = cur.g2.add(P, step)
-        reps = pts * (n // len(pts) + 1)
-        return reps[:n]
-
-    import io as _io
-    import struct
+            P = group.add(P, step)
+        return (pts * (count // len(pts) + 1))[:count]
 
     t0 = time.time()
-    params_buf = _io.BytesIO()
-    params_buf.write(struct.pack("<Q", d))
-    params_buf.write(struct.pack("<Q", m))
-    g1_m1 = rand_pts_g1(m + 1)
-    for P in g1_m1:
-        orc.write_g1(params_buf, cur, P)
-    for P in g1_m1:
-        orc.write_g1(params_buf, cur, P)
-    for P in rand_pts_g2(m + 1):
-        orc.write_g2(params_buf, cur, P)
-    for P in g1_m1[: m - 1]:
-        orc.write_g1(params_buf, cur, P)
-    for P in g1_m1[:d]:
-        orc.write_g1(params_buf, cur, P)
+    params_path = pdir / f"{curve}-{log2_d}.params"
+    input_path = pdir / f"{curve}-{log2_d}.input"
+    import struct
 
-    input_buf = _io.BytesIO()
+    with open(params_path, "wb") as f:
+        f.write(struct.pack("<Q", d))
+        f.write(struct.pack("<Q", m))
+        g1_m1 = strip_pts(cur.g1, cur.g1_gen, m + 1, 256)
+        for P in g1_m1:
+            orc.write_g1(f, cur, P)
+        for P in g1_m1:
+            orc.write_g1(f, cur, P)
+        for P in strip_pts(cur.g2, cur.g2_gen, m + 1, 128):
+            orc.write_g2(f, cur, P)
+        for P in g1_m1[: m - 1]:
+            orc.write_g1(f, cur, P)
+        for P in g1_m1[:d]:
+            orc.write_g1(f, cur, P)
+
     rp = frs.p
-    rvals = rng.integers(0, 1 << 62, size=(3 * (d + 1) + m + 2, 12), dtype=np.uint64)
-    # full-width random Fr values from 12x62-bit chunks
+    rvals = rng.integers(0, 1 << 62, size=(3 * (d + 1) + m + 2, 13), dtype=np.uint64)
     vals = []
     for row in rvals:
         v = 0
         for x in row:
             v = (v << 62) | int(x)
         vals.append(v % rp)
-    w = [1] + vals[: m]
+    w = [1] + vals[:m]
     ca = vals[m : m + d + 1]
     cb = vals[m + d + 1 : m + 2 * (d + 1)]
     cc = [a * b % rp for a, b in zip(ca, cb)]
     r = vals[-1]
-    for v in w:
-        orc.write_mont(input_buf, rp, v)
-    for arr in (ca, cb, cc):
-        for v in arr:
-            orc.write_mont(input_buf, rp, v)
-    orc.write_mont(input_buf, rp, r)
-    gen_s = time.time() - t0
+    with open(input_path, "wb") as f:
+        for v in w:
+            orc.write_mont(f, rp, v)
+        for arr in (ca, cb, cc):
+            for v in arr:
+                orc.write_mont(f, rp, v)
+        orc.write_mont(f, rp, r)
+    return params_path, input_path, time.time() - t0
+
+
+def _cpu_baseline(curve, params_path, input_path, cache: Path, log2_d: int):
+    """Run the measured CPU comparator once per fixture; cache the result."""
+    meta = cache / f"{curve}-{log2_d}.cpu.json"
+    out = cache / f"{curve}-{log2_d}.cpu.output"
+    if meta.exists():
+        return json.loads(meta.read_text()), out
+    exe = REPO / "native" / "build" / "cpu_baseline"
+    if not exe.exists():
+        subprocess.run(["make", "-C", str(REPO / "native"), "cpu"], check=False)
+    if not exe.exists() or os.environ.get("BENCH_CPU", "1") == "0":
+        return None, None
+    timeout = int(os.environ.get("BENCH_CPU_TIMEOUT", "7200"))
+    try:
+        res = subprocess.run(
+            [str(exe), curve, "compute", str(params_path), str(input_path), str(out)],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None, None
+    if res.returncode != 0:
+        sys.stderr.write(res.stderr[-500:] + "\n")
+        return None, None
+    data = json.loads(res.stdout.strip().splitlines()[-1])
+    meta.write_text(json.dumps(data))
+    return data, out
+
+
+def main():
+    from snark_challenge_prover_tpu.config import apply_jax_platform_env
+
+    apply_jax_platform_env()
+    os.environ.setdefault("SNARK_TPU_PROFILE", "0")
+    log2_d = int(os.environ.get("BENCH_LOG2_D", "12"))
+    curve = os.environ.get("BENCH_CURVE", "MNT4753")
+    cache = Path(os.environ.get("BENCH_CACHE", "/tmp/snark_bench_cache"))
+    cache.mkdir(parents=True, exist_ok=True)
+
+    from snark_challenge_prover_tpu.io import serialization as ser
+    from snark_challenge_prover_tpu.proof_systems.groth16 import ChallengeProver
+    from snark_challenge_prover_tpu.models import mnt4753, mnt6753
+
+    model = mnt4753.get() if curve == "MNT4753" else mnt6753.get()
+
+    params_path = cache / f"{curve}-{log2_d}.params"
+    input_path = cache / f"{curve}-{log2_d}.input"
+    gen_s = 0.0
+    if not (params_path.exists() and input_path.exists()):
+        params_path, input_path, gen_s = _gen_fixture_files(curve, log2_d, cache)
 
     deg = 2 if curve == "MNT4753" else 3
-    params = ser.read_params_bytes(params_buf.getvalue(), deg)
-    inp = ser.read_input_bytes(input_buf.getvalue(), params.d, params.m)
+    params = ser.read_params(str(params_path), deg)
+    inp = ser.read_input(str(input_path), params.d, params.m)
 
     prover = ChallengeProver(model)
     # compile + first run
@@ -127,12 +164,24 @@ def main():
     proof = prover.prove_arrays(params, inp)
     steady_s = time.time() - t0
 
-    # libsnark CPU estimate for this size (see module docstring)
-    n = d_plus_1
-    import math
+    # serialize our proof for the byte-exactness check
+    class _Sink:
+        def write(self, data):
+            self.data = data
 
-    g1_adds = 5 * n * 753 / max(1, math.log2(n))  # Bos-Coster, 5 MSMs
-    cpu_est_s = g1_adds * 14 * 100e-9 / 16  # 14 muls/add, 100ns/mul, 16 cores
+    sink = _Sink()
+    our_bytes = ser.write_proof(sink, *proof, g2_deg=deg)
+    our_sha = hashlib.sha256(our_bytes).hexdigest()
+
+    cpu, cpu_out = _cpu_baseline(curve, params_path, input_path, cache, log2_d)
+    byte_exact = None
+    vs_baseline = 0.0
+    cpu_s = None
+    if cpu is not None:
+        cpu_s = cpu["compute_s"]
+        vs_baseline = round(cpu_s / steady_s, 3)
+        if cpu_out and cpu_out.exists():
+            byte_exact = hashlib.sha256(cpu_out.read_bytes()).hexdigest() == our_sha
 
     print(
         json.dumps(
@@ -140,15 +189,19 @@ def main():
                 "metric": f"groth16_{curve.lower()}_proof_latency_2e{log2_d}",
                 "value": round(steady_s, 4),
                 "unit": "s",
-                "vs_baseline": round(cpu_est_s / steady_s, 3),
+                "vs_baseline": vs_baseline,
             }
         )
     )
     print(
         f"# fixture_gen={gen_s:.1f}s first(incl compile)={first_s:.1f}s "
-        f"steady={steady_s:.2f}s cpu_est={cpu_est_s:.2f}s",
+        f"steady={steady_s:.2f}s cpu_measured="
+        f"{('%.2f' % cpu_s) if cpu_s is not None else 'n/a'}s "
+        f"byte_exact_vs_cpu={byte_exact} sha256={our_sha[:16]}",
         file=sys.stderr,
     )
+    if byte_exact is False:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -109,12 +109,34 @@ int sc_read_params_file(const char* path, int g2_deg, uint32_t* A_x,
     return 2;
   }
 
+  // Validate the full layout size up front (before any repack) so a
+  // truncated or corrupt file can never cause out-of-bounds reads —
+  // same policy as sc_read_input_file below.
+  if (fsize < 16) {
+    std::free(buf);
+    return 4;
+  }
   uint64_t d, m;
   std::memcpy(&d, buf, 8);
   std::memcpy(&m, buf + 8, 8);
   const uint8_t* p = buf + 16;
 
   const size_t n1 = m + 1;
+  if (m < 1) {
+    std::free(buf);
+    return 4;
+  }
+  const size_t expect =
+      16 + (2 * n1                      // A
+            + 2 * n1                    // B1
+            + 2 * static_cast<size_t>(g2_deg) * n1  // B2
+            + 2 * (m - 1)               // L
+            + 2 * d) *                  // H
+               kElemBytes;
+  if (static_cast<size_t>(fsize) != expect) {
+    std::free(buf);
+    return 4;
+  }
   // A: n1 points, interleaved (x, y)
   sc_repack_fq_strided(p, n1, 2 * kElemBytes, A_x);
   sc_repack_fq_strided(p + kElemBytes, n1, 2 * kElemBytes, A_y);

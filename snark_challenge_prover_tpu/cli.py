@@ -15,6 +15,9 @@ import time
 
 
 def main(argv=None):
+    from .config import apply_jax_platform_env
+
+    apply_jax_platform_env()
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) != 5 or argv[1] != "compute":
         print(

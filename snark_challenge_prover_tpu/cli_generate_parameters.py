@@ -39,7 +39,9 @@ def generate_for_curve(model, log2_d: int, rng, outdir: Path):
     kp = generator(model, cs, rng)
     pk = kp.pk
     m = cs.num_variables
-    assert m == d, (m, d)  # d-1 constraints, 1 input -> m = d variables
+    # d-1 constraints, 1 input -> m = (d-1) + 2 = d+1 variables, exactly
+    # as the reference (generate_parameters.cpp:38 writes m = d+1)
+    assert m == d + 1, (m, d)
 
     spec = model.Fq.spec
 
@@ -78,7 +80,9 @@ def generate_for_curve(model, log2_d: int, rng, outdir: Path):
     # input file: w[m+1] = const-padded assignment; ca/cb/cc; r
     # (generate_parameters.cpp:44-57,86-108)
     full = list(ex.primary_input) + list(ex.auxiliary_input)
-    aA, aB, aC = assemble_abc_evaluations(cs, ex.primary_input, ex.auxiliary_input)
+    aA, aB, aC = assemble_abc_evaluations(
+        cs, ex.primary_input, ex.auxiliary_input, model.Fr
+    )
     r = rng.randrange(p)
 
     frs = model.Fr.spec
@@ -96,6 +100,9 @@ def generate_for_curve(model, log2_d: int, rng, outdir: Path):
 
 
 def main(argv=None) -> int:
+    from .config import apply_jax_platform_env
+
+    apply_jax_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="full", choices=["full", "fast"])
     ap.add_argument("--log2d-mnt4", type=int, default=None)

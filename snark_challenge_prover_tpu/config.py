@@ -14,6 +14,24 @@ import dataclasses
 import os
 
 
+def apply_jax_platform_env() -> None:
+    """Re-apply the JAX_PLATFORMS env choice after import.
+
+    This image's sitecustomize (axon TPU plugin) calls
+    jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
+    silently clobbering any JAX_PLATFORMS the user set.  Entry points
+    (CLIs, bench, graft entry) call this to make the env var effective
+    again; an unset var or the tunnel's own "axon" value is a no-op."""
+    p = os.environ.get("JAX_PLATFORMS")
+    if p and "axon" not in p:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", p)
+        except Exception:
+            pass
+
+
 def _env_int(name, default):
     v = os.environ.get(name)
     return int(v) if v is not None else default

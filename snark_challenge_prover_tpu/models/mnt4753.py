@@ -12,7 +12,7 @@ from functools import lru_cache
 
 from ..ops.field import Fp
 from ..ops.group import Curve
-from ..ops.towers import Fp2
+from ..ops.towers import Fp2, Fp4
 from .primes import FIELD_A, FIELD_B
 
 # G1 generator affine coordinates (mnt4753_init.cpp:140-142)
@@ -60,7 +60,10 @@ class MNT4753:
         self.Fr = Fp(FIELD_A, "MNT4753.Fr")
         self.Fq = Fp(FIELD_B, "MNT4753.Fq")
         self.Fq2 = Fp2(self.Fq, FQ2_NON_RESIDUE, "MNT4753.Fq2")
-        import jax.numpy as jnp
+        # GT = Fq4 (fp4.tcc), the ate-pairing target
+        self.Fq4 = Fp4(self.Fq2, FQ2_NON_RESIDUE, "MNT4753.Fq4")
+        self.GT = self.Fq4
+        import numpy as np
 
         q = self.Fq.p
         self.G1 = Curve(
@@ -71,28 +74,42 @@ class MNT4753:
         )
         # twist coefficients: a2 = (a*nr, 0), b2 = (0, b*nr)
         # (mnt4753_init.cpp:122-126)
-        a2 = jnp.stack(
+        a2 = np.stack(
             [self.Fq.const(G1_COEFF_A * FQ2_NON_RESIDUE % q), self.Fq.const(0)]
         )
-        b2 = jnp.stack(
+        b2 = np.stack(
             [self.Fq.const(0), self.Fq.const(G1_COEFF_B * FQ2_NON_RESIDUE % q)]
         )
         self.G2 = Curve(self.Fq2, a2, b2, "MNT4753.G2")
 
     def g1_generator(self):
-        import jax.numpy as jnp
+        import numpy as np
 
         x = self.Fq.const(G1_ONE_X)
         y = self.Fq.const(G1_ONE_Y)
         return (x, y, self.Fq.mont_one)
 
     def g2_generator(self):
-        import jax.numpy as jnp
+        import numpy as np
 
-        x = jnp.stack([self.Fq.const(G2_ONE_X0), self.Fq.const(G2_ONE_X1)])
-        y = jnp.stack([self.Fq.const(G2_ONE_Y0), self.Fq.const(G2_ONE_Y1)])
-        z = jnp.stack([self.Fq.mont_one, self.Fq.const(0)])
+        x = np.stack([self.Fq.const(G2_ONE_X0), self.Fq.const(G2_ONE_X1)])
+        y = np.stack([self.Fq.const(G2_ONE_Y0), self.Fq.const(G2_ONE_Y1)])
+        z = np.stack([self.Fq.mont_one, self.Fq.const(0)])
         return (x, y, z)
+
+    def g2_mul_by_q(self, P):
+        """Frobenius endomorphism on G2 (mnt4753_g2.cpp:364-369):
+        (tx * X^q, ty * Y^q, Z^q) with the twist multipliers of
+        mnt4753_init.cpp:131-132 (derived in ops.frobenius)."""
+        from ..ops.frobenius import mnt4753_twist_mul_by_q
+
+        tx, ty = mnt4753_twist_mul_by_q()
+        F2 = self.Fq2
+        X, Y, Z = P
+        Xf = F2.scale_prime_const(F2.frobenius_map(X, 1), self.Fq.const(tx))
+        Yf = F2.scale_prime_const(F2.frobenius_map(Y, 1), self.Fq.const(ty))
+        Zf = F2.frobenius_map(Z, 1)
+        return (Xf, Yf, Zf)
 
 
 @lru_cache(maxsize=1)

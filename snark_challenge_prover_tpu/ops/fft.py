@@ -639,3 +639,60 @@ def get_evaluation_domain(F: Fp, n: int):
 
             return ArithmeticSequenceDomain(F, n)
     raise ValueError(f"no evaluation domain of size {n} for this field")
+
+
+def best_mixed_domain_size(F: Fp, min_size: int) -> int | None:
+    """min { n = 2^a * q^b : n >= min_size, b <= small_subgroup_power,
+    a <= s } (get_evaluation_domain.tcc:33-57)."""
+    spec = F.spec
+    if not spec.small_subgroup_base:
+        return None
+    best = None
+    for b in range(spec.small_subgroup_power + 1):
+        r = spec.small_subgroup_base ** b
+        a = 0
+        while r < min_size:
+            r *= 2
+            a += 1
+        if a <= spec.s and (best is None or r < best):
+            best = r
+    return best
+
+
+def get_domain_of_min_size(F: Fp, min_size: int):
+    """Smallest supported domain of size >= min_size, following the
+    reference's selection order (get_evaluation_domain.tcc:60-135):
+    basic/extended/step at min_size, then at big + rounded_small, then
+    the best mixed 2^a*q^b size, then sequence domains.  The returned
+    domain's .n may exceed min_size."""
+
+    def _try(size):
+        try:
+            return get_evaluation_domain(F, size)
+        except (ValueError, KeyError):
+            return None
+
+    d = _try(min_size)
+    if d is not None and not _is_sequence_domain(d):
+        return d
+    # big + rounded_small (tcc:88-108): libff::log2 is the ceiling
+    ceil_log2 = max(1, (min_size - 1).bit_length())
+    big = 1 << (ceil_log2 - 1)
+    small = min_size - big
+    if small > 0:
+        rounded_small = 1 << max(0, (small - 1).bit_length())
+        d = _try(big + rounded_small)
+        if d is not None and not _is_sequence_domain(d):
+            return d
+    mixed = best_mixed_domain_size(F, min_size)
+    if mixed is not None:
+        d = _try(mixed)
+        if d is not None and not _is_sequence_domain(d):
+            return d
+    return get_evaluation_domain(F, min_size)  # sequence fallbacks
+
+
+def _is_sequence_domain(domain) -> bool:
+    from .sequence_domains import ArithmeticSequenceDomain, GeometricSequenceDomain
+
+    return isinstance(domain, (GeometricSequenceDomain, ArithmeticSequenceDomain))

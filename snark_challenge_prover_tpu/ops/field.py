@@ -33,22 +33,28 @@ class Fp:
         self.name = name
         self.p = spec.p
         self.L = N_LIMBS
-        self.p_limbs = jnp.asarray(int_to_limbs(spec.p))
-        self.nprime_limbs = jnp.asarray(int_to_limbs(spec.n_prime))
-        self.mont_one = jnp.asarray(int_to_limbs(spec.R % spec.p))
-        self.zero_limbs = jnp.zeros(self.L, jnp.uint32)
-        # multiplicative generator / its inverse, in Montgomery form
+        # Constants stay HOST numpy: jnp.asarray would commit them to the
+        # default device eagerly, and on the tunneled axon TPU every MLIR
+        # constant lowering then fetches them back at ~0.4 s (first touch
+        # ~100 s) — a large hidden share of round-1's compile times.
+        # numpy lowers to inline constants with zero device traffic.
+        self.p_limbs = int_to_limbs(spec.p)
+        self.nprime_limbs = int_to_limbs(spec.n_prime)
+        self.mont_one = int_to_limbs(spec.R % spec.p)
+        self.zero_limbs = np.zeros(self.L, np.uint32)
+        # multiplicative generator, in Montgomery form
         g = spec.multiplicative_generator
-        self.mont_generator = jnp.asarray(int_to_limbs(spec.to_mont(g)))
+        self.mont_generator = int_to_limbs(spec.to_mont(g))
 
     # ---- constructors -------------------------------------------------
     def const(self, value: int):
-        """Montgomery-form constant (shape (48,)) from an integer value."""
-        return jnp.asarray(int_to_limbs(self.spec.to_mont(value)))
+        """Montgomery-form constant (shape (48,), host numpy) from an
+        integer value."""
+        return int_to_limbs(self.spec.to_mont(value))
 
     def const_raw(self, mont_value: int):
         """Constant already in Montgomery form."""
-        return jnp.asarray(int_to_limbs(mont_value))
+        return int_to_limbs(mont_value)
 
     def zeros(self, batch_shape):
         return jnp.zeros((self.L,) + tuple(batch_shape), jnp.uint32)
@@ -59,13 +65,26 @@ class Fp:
             (self.L,) + tuple(batch_shape),
         )
 
+    # ---- op counting (PROFILE_OP_COUNTS parity, fp.hpp:46-52) ----------
+    def _count(self, key: str, *arrs):
+        from ..utils import op_counts
+
+        if op_counts.active() is None:
+            return
+        import math
+
+        batch = jnp.broadcast_shapes(*(a.shape[1:] for a in arrs))
+        op_counts.record(f"{self.name}.{key}", math.prod(batch) if batch else 1)
+
     # ---- ring ops ------------------------------------------------------
     def add(self, a, b):
+        self._count("add", a, b)
         s = lb.normalize(a + b)  # < 2p < 2^754 fits in 48 limbs
         return lb.cond_sub(s, self.p_limbs)
 
     def sub(self, a, b):
         # a - b mod p == (a + p) - b, both canonical
+        self._count("sub", a, b)
         s = lb.normalize(a + lb.bcast_const(self.p_limbs, a))
         d, _ = lb.sub_borrow(s, jnp.broadcast_to(b, s.shape))
         return lb.cond_sub(d, self.p_limbs)
@@ -87,14 +106,18 @@ class Fp:
 
     # Batches at least this large route to the fused Pallas TPU kernel
     # (ops.pallas_field): one VMEM-resident program instead of the XLA
-    # fori/dynamic-update-slice convolutions (33x at 2^20 on v5e).
+    # fori/dynamic-update-slice convolutions (33x standalone at 2^20).
+    # OPT-IN (SNARK_TPU_PALLAS=1): the kernel is validated standalone but
+    # faulted the TPU when auto-dispatched inside the composite MSM graph
+    # at d+1=2^12 (BENCH_r01) — keep the default on the XLA path until
+    # the kernel is proven inside full prover graphs on real hardware.
     PALLAS_MIN_BATCH = 4096
 
     def _pallas_eligible(self, batch_shape) -> int:
         import math
         import os
 
-        if os.environ.get("SNARK_TPU_PALLAS", "1") == "0":
+        if os.environ.get("SNARK_TPU_PALLAS", "0") != "1":
             return 0
         total = math.prod(batch_shape) if batch_shape else 1
         if total < self.PALLAS_MIN_BATCH or total % 128:
@@ -102,7 +125,11 @@ class Fp:
         try:
             import jax
 
+            # jax.default_backend() is process-global; a CPU-mesh run on a
+            # TPU-default host must not route into the TPU-only pallas_call.
             if jax.default_backend() != "tpu":
+                return 0
+            if jax.devices()[0].platform != "tpu":
                 return 0
         except Exception:
             return 0
@@ -122,13 +149,16 @@ class Fp:
         return self._redc(lb.mul_wide(a, b))
 
     def mul(self, a, b):
+        self._count("mul", a, b)
         return self._mul_dispatch(a, b)
 
     def sqr(self, a):
+        self._count("sqr", a)
         return self._mul_dispatch(a, a)
 
     def mul_const(self, a, c):
         """a * const where c is a (48,) Montgomery-form constant."""
+        self._count("mul", a)
         return self._mul_dispatch(a, lb.bcast_const(c, a))
 
     def mul_small(self, a, k: int):
@@ -140,7 +170,7 @@ class Fp:
         while kk * 2 < k:
             kk *= 2
         while kk >= 1:
-            t = lb.cond_sub(t, jnp.asarray(int_to_limbs(kk * self.p), dtype=jnp.uint32))
+            t = lb.cond_sub(t, int_to_limbs(kk * self.p))
             kk //= 2
         return t
 
@@ -160,6 +190,8 @@ class Fp:
     # ---- exponentiation / inversion -------------------------------------
     def pow_int(self, a, e: int):
         """a^e for a fixed Python-int exponent (lax.scan over bits)."""
+        from ..utils import op_counts
+
         bits = [(e >> i) & 1 for i in range(e.bit_length())][::-1]  # MSB first
         bits_arr = jnp.asarray(np.array(bits, dtype=np.bool_))
 
@@ -169,11 +201,13 @@ class Fp:
             return acc, None
 
         init = self.ones(a.shape[1:])
-        out, _ = jax.lax.scan(body, init, bits_arr)
+        with op_counts.loop_scope(len(bits)):
+            out, _ = jax.lax.scan(body, init, bits_arr)
         return out
 
     def inv(self, a):
         """Batch inversion via Fermat: a^(p-2).  0 maps to 0."""
+        self._count("inv", a)
         return self.pow_int(a, self.p - 2)
 
     def batch_inv(self, a):
@@ -206,7 +240,7 @@ class Fp:
 
     def from_canonical(self, a):
         """Canonical integer limbs -> Montgomery form (mul by R^2)."""
-        return self.mul_const(a, jnp.asarray(int_to_limbs(self.spec.R2)))
+        return self.mul_const(a, int_to_limbs(self.spec.R2))
 
     # ---- host conversions ------------------------------------------------
     def host_to_mont_limbs(self, values) -> np.ndarray:

@@ -22,16 +22,44 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _mulsb(F, xs, ys):
+    """[x_i * y_i] via ONE batched F.mul along a fresh stacked axis.
+
+    Bit-identical to separate multiplies (the limb REDC graph is applied
+    lane-wise) but the XLA graph holds a single multiply — the group-law
+    graphs shrink ~4x, which is the difference between minutes and hours
+    of XLA:CPU compile on the G2 (tower) curve, and the wider lanes help
+    VPU utilization at runtime."""
+    k = F.elem_ndim
+    shape = jnp.broadcast_shapes(*(x.shape for x in xs), *(y.shape for y in ys))
+    A = jnp.stack([jnp.broadcast_to(x, shape) for x in xs], axis=k)
+    B = jnp.stack([jnp.broadcast_to(y, shape) for y in ys], axis=k)
+    V = F.mul(A, B)
+    return [jnp.take(V, i, axis=k) for i in range(len(xs))]
+
+
 class Curve:
     """One short-Weierstrass curve y^2 z = x^3 + a x z^2 + b z^3 over a
     field object F (ops.field.Fp or ops.towers.Fp2/Fp3)."""
 
     def __init__(self, F, coeff_a, coeff_b, name: str):
+        import numpy as np
+
         self.F = F
-        self.a = coeff_a  # field constant, component/limb planes, no batch
-        self.b = coeff_b
-        # 3b, used by the complete addition formula (tiny eager compute)
-        self.b3 = F.add(coeff_b, F.add(coeff_b, coeff_b))
+        self.a = np.asarray(coeff_a)  # host constants: component/limb planes
+        self.b = np.asarray(coeff_b)
+        # 3b (used by the complete addition formula), computed with HOST
+        # ints — an eager F.add here would place the result on the default
+        # device and every later lowering would fetch it back (slow on the
+        # tunneled axon TPU).  Montgomery form is linear so 3b_mont =
+        # (3 * b_mont) mod p componentwise.
+        from ..utils.bigint import int_to_limbs, limbs_to_int
+
+        p = F.spec.p if hasattr(F, "spec") else F._prime_field.spec.p
+        flat = self.b.reshape(-1, self.b.shape[-1])
+        self.b3 = np.stack(
+            [int_to_limbs(3 * limbs_to_int(row) % p) for row in flat]
+        ).reshape(self.b.shape)
         self.name = name
 
     # ---- constructors ---------------------------------------------------
@@ -64,26 +92,34 @@ class Curve:
         extra = like.ndim - self.a.ndim
         return self.a.reshape(self.a.shape + (1,) * extra)
 
+    def _count(self, key: str, like):
+        """Group-op counters (mnt4753_g1.cpp:19-20 add_cnt/dbl_cnt)."""
+        from ..utils import op_counts
+
+        if op_counts.active() is None:
+            return
+        import math
+
+        batch = like.shape[self.F.elem_ndim :]
+        op_counts.record(f"{self.name}.{key}", math.prod(batch) if batch else 1)
+
     def double(self, P):
-        """dbl-2007-bl over projective coords (mnt4753_g1.cpp:315-347).
+        """dbl-2007-bl over projective coords (mnt4753_g1.cpp:315-347),
+        with independent multiplies stacked into batched stages (_mulsb).
         Identity doubles to identity via masking."""
         F = self.F
+        self._count("dbl", P[0])
         X1, Y1, Z1 = P
-        XX = F.sqr(X1)
-        ZZ = F.sqr(Z1)
-        aZZ = F.mul(self._a_const(ZZ), ZZ)
-        w = F.add(aZZ, F.add(XX, F.add(XX, XX)))
-        Y1Z1 = F.mul(Y1, Z1)
+        XX, ZZ, Y1Z1 = _mulsb(F, [X1, Z1, Y1], [X1, Z1, Z1])
         s = F.double(Y1Z1)
-        ss = F.sqr(s)
-        sss = F.mul(s, ss)
-        R = F.mul(Y1, s)
-        RR = F.sqr(R)
+        aZZ, ss, R = _mulsb(F, [self._a_const(ZZ), s, Y1], [ZZ, s, s])
+        w = F.add(aZZ, F.add(XX, F.add(XX, XX)))
         XR = F.add(X1, R)
-        B = F.sub(F.sub(F.sqr(XR), XX), RR)
+        sss, RR, XR2 = _mulsb(F, [s, R, XR], [ss, R, XR])
+        B = F.sub(F.sub(XR2, XX), RR)
         h = F.sub(F.sqr(w), F.double(B))
-        X3 = F.mul(h, s)
-        Y3 = F.sub(F.mul(w, F.sub(B, h)), F.double(RR))
+        X3, Y3w = _mulsb(F, [h, w], [s, F.sub(B, h)])
+        Y3 = F.sub(Y3w, F.double(RR))
         Z3 = sss
         return self.select(self.is_zero(P), P, (X3, Y3, Z3))
 
@@ -101,33 +137,38 @@ class Curve:
         vectorized-bignum graph.  Group elements produced are identical
         (different projective representatives, same affine point)."""
         F = self.F
+        self._count("add", P[0])
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
         a = self._a_const(X1)
         b3 = self._b3_const(X1)
 
-        t0 = F.mul(X1, X2)
-        t1 = F.mul(Y1, Y2)
-        t2 = F.mul(Z1, Z2)
-        t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+        # stage 1: the six independent cross products
+        t0, t1, t2, t3, t4, t5 = _mulsb(
+            F,
+            [X1, Y1, Z1, F.add(X1, Y1), F.add(X1, Z1), F.add(Y1, Z1)],
+            [X2, Y2, Z2, F.add(X2, Y2), F.add(X2, Z2), F.add(Y2, Z2)],
+        )
         t3 = F.sub(t3, F.add(t0, t1))
-        t4 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
         t4 = F.sub(t4, F.add(t0, t2))
-        t5 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
         t5 = F.sub(t5, F.add(t1, t2))
-        Z3 = F.add(F.mul(b3, t2), F.mul(a, t4))
+        # stage 2: the four curve-constant products (need only t2, t4)
+        b3t2, at4, t2a, t4b = _mulsb(F, [b3, a, a, b3], [t2, t4, t2, t4])
+        Z3 = F.add(b3t2, at4)
         X3 = F.sub(t1, Z3)
         Z3 = F.add(t1, Z3)
-        Y3 = F.mul(X3, Z3)
         t1 = F.add(F.add(t0, t0), t0)          # 3*t0
-        t2a = F.mul(a, t2)
-        t4b = F.mul(b3, t4)
         t1 = F.add(t1, t2a)
-        t2 = F.mul(a, F.sub(t0, t2a))
+        # stage 3: X3*Z3 and a*(t0 - t2a)
+        Y3, t2 = _mulsb(F, [X3, a], [Z3, F.sub(t0, t2a)])
         t4 = F.add(t4b, t2)
-        Y3 = F.add(Y3, F.mul(t1, t4))
-        X3 = F.sub(F.mul(t3, X3), F.mul(t5, t4))
-        Z3 = F.add(F.mul(t5, Z3), F.mul(t3, t1))
+        # stage 4: the four combination products
+        m0, m1, m2, m3, m4 = _mulsb(
+            F, [t1, t3, t5, t5, t3], [t4, X3, t4, Z3, t1]
+        )
+        Y3 = F.add(Y3, m0)
+        X3 = F.sub(m1, m2)
+        Z3 = F.add(m3, m4)
         return (X3, Y3, Z3)
 
     def _b3_const(self, like):
@@ -272,7 +313,10 @@ class Curve:
             acc = self.select(bit, self.add(acc, P), acc)
             return acc, None
 
-        out, _ = jax.lax.scan(body, self.zero(batch), bits_arr)
+        from ..utils import op_counts
+
+        with op_counts.loop_scope(len(bits)):
+            out, _ = jax.lax.scan(body, self.zero(batch), bits_arr)
         return out
 
     def scalar_mul_limbs(self, P, scalar_canonical, num_bits: int = 768):
@@ -292,5 +336,8 @@ class Curve:
             return acc, None
 
         idx = jnp.arange(num_bits)
-        out, _ = jax.lax.scan(body, self.zero(batch), idx)
+        from ..utils import op_counts
+
+        with op_counts.loop_scope(num_bits):
+            out, _ = jax.lax.scan(body, self.zero(batch), idx)
         return out

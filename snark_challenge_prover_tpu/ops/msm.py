@@ -50,6 +50,33 @@ def default_window_bits(n: int) -> int:
     return max(4, min(16, int(math.log2(n)) - 3))
 
 
+# Full-width (753-bit) extension-field MSMs with window c=4 reproducibly
+# crash the TPU runtime worker ("kernel fault") on current axon stacks,
+# while c=8 runs clean (tools/tpu_g2_probe.py reproduces both).  Any
+# window split computes the identical group element, so every G2 path
+# shares this floor whenever the computation targets a TPU backend.
+# Override via SNARK_TPU_G2_WINDOW.
+G2_MIN_WINDOW = 8
+
+
+def g2_window_bits(n: int, requested: int | None = None) -> int:
+    """The single G2 window policy (guards the TPU c<8 kernel fault)."""
+    import os
+
+    env = os.environ.get("SNARK_TPU_G2_WINDOW")
+    if env is not None:
+        return int(env)
+    base = requested if requested is not None else default_window_bits(n)
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            return max(base, G2_MIN_WINDOW)
+    except Exception:
+        pass
+    return base
+
+
 def window_digits(scalars, c: int, scalar_bits: int = SCALAR_BITS):
     """(48, *batch) canonical uint32 limbs -> (W, *batch) int32 digits,
     least-significant window first."""
@@ -70,6 +97,98 @@ def _hillis_levels(n: int) -> int:
     return max(1, math.ceil(math.log2(max(2, n))))
 
 
+def _ec_reduce(curve: Curve, elems):
+    """EC-add fold reduction along the LAST axis — replaces full scans
+    whose only consumed output was the final element (round-1 spent a
+    whole Hillis-Steele pass on it).  Implemented as a fori_loop masked
+    in-place halving so the graph holds ONE traced combine (an unrolled
+    tree quadruples XLA:CPU compile time on G2-sized graphs); runtime is
+    log N full-width masked-add passes."""
+    from ..utils import op_counts
+
+    n = elems[0].shape[-1]
+    if n == 1:
+        return tuple(t[..., 0] for t in elems)
+    levels = _hillis_levels(n)
+    npad = 1 << levels
+    x = elems
+    if npad != n:
+        F = curve.F
+        pad_batch = x[0].shape[F.elem_ndim : -1] + (npad - n,)
+        x = (
+            jnp.concatenate([x[0], F.zeros(pad_batch)], axis=-1),
+            jnp.concatenate([x[1], F.ones(pad_batch)], axis=-1),
+            jnp.concatenate([x[2], F.zeros(pad_batch)], axis=-1),
+        )
+    idx = jnp.arange(npad)
+
+    def level(t, state):
+        d = jnp.int32(npad) >> (t + 1)
+        shifted = tuple(jnp.roll(s, -d, axis=-1) for s in state)
+        comb = curve.add(state, shifted)
+        keep = idx < d
+        out = []
+        for c_, s_ in zip(comb, state):
+            k = keep.reshape((1,) * (c_.ndim - 1) + (npad,))
+            out.append(jnp.where(k, c_, s_))
+        return tuple(out)
+
+    with op_counts.loop_scope(levels):
+        out = jax.lax.fori_loop(0, levels, level, x)
+    return tuple(t[..., 0] for t in out)
+
+
+def _ec_scan_tree(curve: Curve, elems, reverse: bool = False):
+    """Work-efficient inclusive EC scan along the last axis
+    (Ladner-Fischer recursive halving): ~2N combines total vs
+    Hillis-Steele's N log N, with 2 log N traced combines in the graph.
+    Requires nothing of N (odd tails handled exactly)."""
+    if reverse:
+        elems = tuple(jnp.flip(t, axis=-1) for t in elems)
+
+    def rec(x):
+        L = x[0].shape[-1]
+        if L == 1:
+            return x
+        half = L // 2
+        even = tuple(t[..., 0 : 2 * half : 2] for t in x)
+        odd = tuple(t[..., 1 : 2 * half : 2] for t in x)
+        pairs = curve.add(even, odd)  # combine (x[2i], x[2i+1])
+        if L % 2:
+            pairs = tuple(
+                jnp.concatenate([p, t[..., -1:]], axis=-1)
+                for p, t in zip(pairs, x)
+            )
+        ps = rec(pairs)  # ps[i] = inclusive scan at position 2i+1
+        # even positions: scan[2i] = ps[i-1] + x[2i] (ps[-1] = identity)
+        F = curve.F
+        batch = even[0].shape[F.elem_ndim : -1] + (1,)
+        ident = (F.zeros(batch), F.ones(batch), F.zeros(batch))
+        prev = tuple(
+            jnp.concatenate([i_, p[..., : half - 1]], axis=-1)
+            for i_, p in zip(ident, ps)
+        )
+        ev = curve.add(prev, even)
+        # interleave ev (even slots) and ps (odd slots)
+        out = tuple(
+            jnp.stack([a, b[..., :half]], axis=-1).reshape(
+                a.shape[:-1] + (2 * half,)
+            )
+            for a, b in zip(ev, ps)
+        )
+        if L % 2:
+            out = tuple(
+                jnp.concatenate([o, p[..., -1:]], axis=-1)
+                for o, p in zip(out, ps)
+            )
+        return out
+
+    out = rec(tuple(elems))
+    if reverse:
+        out = tuple(jnp.flip(t, axis=-1) for t in out)
+    return out
+
+
 def _ec_scan(curve: Curve, elems, axis: int, reverse: bool = False,
              impl: str = "hillis"):
     """Inclusive EC-add scan along `axis` (last axis of every leaf).
@@ -77,7 +196,10 @@ def _ec_scan(curve: Curve, elems, axis: int, reverse: bool = False,
     impl="assoc": jax.lax.associative_scan — work-efficient (~2N combines)
     but traces the combine O(log N) times (big XLA graphs: slow compiles).
     impl="hillis": Hillis-Steele under fori_loop — one combine in the
-    graph, log N runtime passes of N-wide masked adds (N log N work)."""
+    graph, log N runtime passes of N-wide masked adds (N log N work).
+    impl="tree": Ladner-Fischer halving — ~2N combines, 2 log N traced."""
+    if impl == "tree":
+        return _ec_scan_tree(curve, elems, reverse=reverse)
     if impl == "assoc":
         return jax.lax.associative_scan(
             lambda a, b: curve.add(a, b), elems, axis=axis, reverse=reverse
@@ -99,7 +221,10 @@ def _ec_scan(curve: Curve, elems, axis: int, reverse: bool = False,
         v = valid.reshape(vshape)
         return tuple(jnp.where(v, c, s) for c, s in zip(comb, state))
 
-    return jax.lax.fori_loop(0, _hillis_levels(n), level, tuple(elems))
+    from ..utils import op_counts
+
+    with op_counts.loop_scope(_hillis_levels(n)):
+        return jax.lax.fori_loop(0, _hillis_levels(n), level, tuple(elems))
 
 
 def _ec_segmented_scan(curve: Curve, pts, start, impl: str = "hillis"):
@@ -141,10 +266,47 @@ def _ec_segmented_scan(curve: Curve, pts, start, impl: str = "hillis"):
             out.append(jnp.where(v, c, s))
         return tuple(out)
 
-    state = jax.lax.fori_loop(
-        0, _hillis_levels(n), level, (X, Y, Z, jnp.broadcast_to(flag, (1,) * extra + start.shape))
-    )
+    from ..utils import op_counts
+
+    with op_counts.loop_scope(_hillis_levels(n)):
+        state = jax.lax.fori_loop(
+            0, _hillis_levels(n), level, (X, Y, Z, jnp.broadcast_to(flag, (1,) * extra + start.shape))
+        )
     return state[0], state[1], state[2]
+
+
+def _segment_totals_subtract(curve: Curve, pts, start, impl: str = "tree"):
+    """Segment-inclusive prefix values WITHOUT a segmented monoid: points
+    form a group, so seg_incl[i] = pref[i] - pref[seg_start(i) - 1] where
+    pref is the plain inclusive scan.  One scan (~2N adds with the tree
+    impl) + one negate-add per element, vs the 4-tuple segmented combine.
+    The EC subtraction is exact: the complete RCB addition formula is
+    exceptional-free, and P + (-P) lands on the identity."""
+    X, Y, Z = pts
+    pref = _ec_scan(curve, (X, Y, Z), axis=X.ndim - 1, impl=impl)
+    n = X.shape[-1]
+    idx = jnp.arange(n)
+    # index of each position's segment start (start[...,0] is always True)
+    start_idx = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(start, idx, 0), axis=start.ndim - 1
+    )
+    gather_idx = jnp.maximum(start_idx - 1, 0)
+    extra = X.ndim - start.ndim
+
+    def gather(t):
+        gi = jnp.broadcast_to(gather_idx, t.shape[:extra] + gather_idx.shape)
+        return jnp.take_along_axis(t, gi, axis=-1)
+
+    F = curve.F
+    base = (gather(pref[0]), gather(pref[1]), gather(pref[2]))
+    first = (start_idx == 0)
+    batch = start.shape
+    base = (
+        F.select(first, F.zeros(batch), base[0]),
+        F.select(first, F.ones(batch), base[1]),
+        F.select(first, F.zeros(batch), base[2]),
+    )
+    return curve.add(pref, curve.neg(base))
 
 
 def msm_multi(curve: Curve, points, scalars_canonical, c: int | None = None,
@@ -209,7 +371,15 @@ def msm_multi(curve: Curve, points, scalars_canonical, c: int | None = None,
         start = jnp.concatenate(
             [jnp.ones((Gr, M, 1), bool), keys[..., 1:] != keys[..., :-1]], axis=-1
         )
-        sx, sy, sz = _ec_segmented_scan(curve, (Xs, Ys, Zs), start, impl=scan_impl)
+        if scan_impl == "tree":
+            # work-efficient path: plain scan + group-subtraction totals
+            sx, sy, sz = _segment_totals_subtract(
+                curve, (Xs, Ys, Zs), start, impl=scan_impl
+            )
+        else:
+            sx, sy, sz = _ec_segmented_scan(
+                curve, (Xs, Ys, Zs), start, impl=scan_impl
+            )
 
         # ---- scatter segment totals into buckets ----------------------
         is_end = jnp.concatenate(
@@ -239,23 +409,30 @@ def msm_multi(curve: Curve, points, scalars_canonical, c: int | None = None,
             reverse=True,
             impl=scan_impl,
         )
-        tot = _ec_scan(curve, run, axis=bX.ndim - 1, impl=scan_impl)
-        S = tuple(t[..., -1] for t in tot)  # (..., Gr, M)
+        # only the total of the suffix sums is needed: a tree reduction
+        # (B-1 adds) replaces the second full scan (round-1 did a whole
+        # Hillis-Steele pass, ~B log B adds, for one element)
+        S = _ec_reduce(curve, run)  # (..., Gr, M)
 
         # ---- Horner within the group (windows already MSB-first) ------
         def dbl(i, P):
             return curve.double(P)
 
         def horner_step(cr, S_j):
-            cr = jax.lax.fori_loop(0, c, dbl, cr)
+            with op_counts.loop_scope(c):
+                cr = jax.lax.fori_loop(0, c, dbl, cr)
             return curve.add(cr, S_j), None
 
         S_stacked = tuple(jnp.moveaxis(t, -2, 0) for t in S)  # (Gr, ..., M)
-        carry, _ = jax.lax.scan(horner_step, carry, S_stacked)
+        with op_counts.loop_scope(Gr):
+            carry, _ = jax.lax.scan(horner_step, carry, S_stacked)
         return carry, None
 
+    from ..utils import op_counts
+
     init = curve.zero((M,))
-    out, _ = jax.lax.scan(body, init, dig_groups)
+    with op_counts.loop_scope(W_pad // Gr):
+        out, _ = jax.lax.scan(body, init, dig_groups)
     return out
 
 

@@ -18,29 +18,32 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..ops import msm as msm_mod
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, INNER_AXIS, OUTER_AXIS
 
 
 def _tree_combine(curve, pts, n: int):
-    """Fold a leading length-n axis of projective points with EC adds
-    (log2(n) unrolled levels; n = device count, so this is tiny)."""
+    """Fold a trailing length-n axis of projective points with EC adds
+    (log2(n) unrolled levels; n = device count, so this is tiny).
+
+    The device axis must be the LAST axis so the limb/component axes stay
+    where curve.add expects them (limbs leading): each leaf has shape
+    (48[, deg], M, n)."""
+    F = curve.F
     X, Y, Z = pts
     while n > 1:
         half = (n + 1) // 2
-        lo = tuple(t[:half] for t in (X, Y, Z))
-        hi = tuple(t[half:] for t in (X, Y, Z))
-        if hi[0].shape[0] < half:  # odd: pad with identity
-            pad = half - hi[0].shape[0]
-            batch = hi[0].shape[1:]
-            F = curve.F
+        lo = tuple(t[..., :half] for t in (X, Y, Z))
+        hi = tuple(t[..., half:] for t in (X, Y, Z))
+        if hi[0].shape[-1] < half:  # odd: pad with the identity (0:1:0)
+            pad_batch = X.shape[F.elem_ndim:-1] + (half - hi[0].shape[-1],)
             hi = (
-                jnp.concatenate([hi[0], jnp.broadcast_to(F.zeros(batch)[None], (pad,) + hi[0].shape[1:])]),
-                jnp.concatenate([hi[1], jnp.broadcast_to(F.ones(batch)[None], (pad,) + hi[1].shape[1:])]),
-                jnp.concatenate([hi[2], jnp.broadcast_to(F.zeros(batch)[None], (pad,) + hi[2].shape[1:])]),
+                jnp.concatenate([hi[0], F.zeros(pad_batch)], axis=-1),
+                jnp.concatenate([hi[1], F.ones(pad_batch)], axis=-1),
+                jnp.concatenate([hi[2], F.zeros(pad_batch)], axis=-1),
             )
         X, Y, Z = curve.add(lo, hi)
         n = half
-    return X[0], Y[0], Z[0]
+    return X[..., 0], Y[..., 0], Z[..., 0]
 
 
 def msm_multi_sharded(mesh: Mesh, curve, points, scalars_canonical,
@@ -67,9 +70,59 @@ def msm_multi_sharded(mesh: Mesh, curve, points, scalars_canonical,
             scan_impl=scan_impl,
         )  # (..., M) projective partial on this shard
         gathered = tuple(
-            jax.lax.all_gather(t, DATA_AXIS, axis=0) for t in part
-        )  # (D, ..., M)
+            # gather onto a NEW TRAILING axis so the limb/component axes
+            # stay leading for the EC combine (round-1 bug: axis=0 buried
+            # the limb axis behind the device axis)
+            jax.lax.all_gather(t, DATA_AXIS, axis=t.ndim) for t in part
+        )  # (..., M, D)
         return _tree_combine(curve, gathered, D)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pt_spec, pt_spec, pt_spec, scal_spec),
+        out_specs=(out_spec, out_spec, out_spec),
+        check_rep=False,
+    )
+    return fn(*points, scalars_canonical)
+
+
+def msm_multi_sharded_2d(mesh: Mesh, curve, points, scalars_canonical,
+                         c: int | None = None,
+                         scalar_bits: int = msm_mod.SCALAR_BITS,
+                         scan_impl: str = "hillis"):
+    """Multi-host MSM over a 2-level (OUTER=DCN, INNER=ICI) mesh.
+
+    The point stream shards over BOTH axes along N.  Per-device partials
+    reduce hierarchically: all-gather + EC combine over the fast inner
+    (ICI) axis first, then one point per host crosses the slow outer
+    (DCN) axis — DCN traffic is one projective point per host per MSM,
+    the hierarchical-reduce pattern of SURVEY §2.5.
+    """
+    X, _, _ = points
+    ndim = X.ndim
+    Do = mesh.shape[OUTER_AXIS]
+    Di = mesh.shape[INNER_AXIS]
+
+    pt_spec = P(*([None] * (ndim - 1) + [(OUTER_AXIS, INNER_AXIS)]))
+    scal_spec = P(None, None, (OUTER_AXIS, INNER_AXIS))
+    out_spec = P()
+
+    def local(X, Y, Z, S):
+        part = msm_mod.msm_multi(
+            curve, (X, Y, Z), S, c=c, scalar_bits=scalar_bits,
+            scan_impl=scan_impl,
+        )
+        # level 1: ICI reduce (fast, within a host's slice)
+        g_in = tuple(
+            jax.lax.all_gather(t, INNER_AXIS, axis=t.ndim) for t in part
+        )
+        part = _tree_combine(curve, g_in, Di)
+        # level 2: DCN reduce (one point per host per MSM)
+        g_out = tuple(
+            jax.lax.all_gather(t, OUTER_AXIS, axis=t.ndim) for t in part
+        )
+        return _tree_combine(curve, g_out, Do)
 
     fn = shard_map(
         local,

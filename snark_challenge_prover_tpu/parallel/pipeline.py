@@ -105,7 +105,9 @@ def prove_step_sharded(mesh: Mesh, model, params_dev, input_dev, d: int, m: int,
     pts2 = tuple(_pad_to(pts2, D))
     scal2 = w_can[:, None, :]
     (scal2,) = _pad_to([scal2], D)
-    Bt2 = msm_multi_sharded(mesh, G2, pts2, scal2, c=c, scan_impl=scan_impl)
+    # per-shard length sets the G2 window; floored on TPU (ops.msm policy)
+    c2 = msm_mod.g2_window_bits(scal2.shape[-1] // D, c)
+    Bt2 = msm_multi_sharded(mesh, G2, pts2, scal2, c=c2, scan_impl=scan_impl)
 
     rBt1 = G1.scalar_mul_limbs(Bt1, r_can)
     C = G1.add(G1.add(Ht, Lt), rBt1)

@@ -126,23 +126,11 @@ class ChallengeProver:
         )
         return msm_mod.msm_multi(G1, pts4, scal4, self.msm_window)
 
-    # The G2 MSM runs with window >= 8 regardless of the configured G1
-    # window: full-width (753-bit) extension-field MSMs with c=4 (189
-    # window groups) reproducibly crash the TPU runtime worker ("TPU
-    # worker process crashed - kernel fault") on current axon stacks,
-    # while c=8 runs clean, and any window split computes the identical
-    # group element (sum_i s_i*P_i is window-independent).  Override via
-    # SNARK_TPU_G2_WINDOW.
-    G2_MIN_WINDOW = 8
-
     def _g2_window(self, n: int) -> int:
-        import os
-
-        env = os.environ.get("SNARK_TPU_G2_WINDOW")
-        if env is not None:
-            return int(env)
-        base = self.msm_window or msm_mod.default_window_bits(n)
-        return max(base, self.G2_MIN_WINDOW)
+        """Shared G2 window policy (ops.msm.g2_window_bits): floors the
+        window at 8 on TPU backends, where c=4 full-width extension-field
+        MSMs fault the runtime worker (tools/tpu_g2_probe.py)."""
+        return msm_mod.g2_window_bits(n, self.msm_window)
 
     def _g2_stage(self, B2, w_can):
         model = self.model

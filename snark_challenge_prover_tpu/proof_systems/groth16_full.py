@@ -19,8 +19,11 @@ r1cs_gg_ppzksnark/r1cs_gg_ppzksnark.{hpp,tcc}:
         C = Ht + Lt + s A + r B - rs delta.
 
   * `verifier` (tcc:499-672): weak/strong-IC x online/offline variants;
-    host-side pairings (proof_systems.pairing.PairingEngine) since
+    host-side ate pairings (proof_systems.ate_pairing.AtePairing — the
+    reference's precompute/Miller/final-exp structure) since
     verification is O(1) per proof and off the hot path (SURVEY §2.1).
+    proof_systems.pairing's Tate engine remains as an independent
+    cross-check.
 
 Proof bytes serialize exactly like the challenge wire format
 (io.serialization); proving/verification keys get a framework binary
@@ -43,7 +46,8 @@ from ..reductions import r1cs_to_qap as qap
 from ..relations.r1cs import R1CSConstraintSystem
 from ..utils.bigint import int_to_limbs, ints_to_limbs, limbs_to_int
 from ..utils.profiling import block
-from .pairing import PairingEngine
+from .ate_pairing import AtePairing
+from .pairing import PairingEngine  # Tate cross-check engine
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +267,7 @@ def generator(model, cs: R1CSConstraintSystem, rng) -> Keypair:
         delta_g2 = hc.g2.mul(delta, g2b)
 
         # vk (tcc:352-366)
-        engine = PairingEngine(hc)
+        engine = AtePairing(hc)
         alpha_g1_beta_g2 = engine.reduced_pairing(alpha_g1, beta_g2)
         ABC_host = [hc.g1.mul(ABC[i], g1b) for i in range(inst.num_inputs + 1)]
 
@@ -317,7 +321,7 @@ def prover(model, pk: ProvingKey, primary, auxiliary, rng,
 
     with block("witness map"):
         full, H_planes = qap.witness_map(model, cs, primary, auxiliary)
-    n = qap.qap_domain_size(cs)
+    n = qap.qap_domain_size(cs, F)
 
     r = rng.randrange(r_p)
     s = rng.randrange(r_p)
@@ -339,7 +343,8 @@ def prover(model, pk: ProvingKey, primary, auxiliary, rng,
 
     def msm_g2(B2_q, w_can):
         return msm_mod.msm(
-            G2, G2.from_affine(B2_q[0], B2_q[1]), w_can, msm_window
+            G2, G2.from_affine(B2_q[0], B2_q[1]), w_can,
+            msm_mod.g2_window_bits(w_can.shape[-1], msm_window),
         )
 
     with block("G1 multiexps (jit)"):
@@ -403,7 +408,7 @@ def online_verifier_weak_IC(vk: VerificationKey, primary, proof: Proof) -> bool:
     """tcc:515-566: accumulate inputs, well-formedness, the 3-pairing QAP
     divisibility check e(A,B) = e(alpha,beta) e(acc, G2one) e(C, delta)."""
     hc = host_curve(vk.curve)
-    engine = PairingEngine(hc)
+    engine = AtePairing(hc)
     gt = engine.gt
 
     assert len(vk.ABC_g1) - 1 >= len(primary)

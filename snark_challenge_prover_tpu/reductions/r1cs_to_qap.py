@@ -29,16 +29,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fft import get_evaluation_domain, Radix2Domain
+from ..ops.fft import get_domain_of_min_size, get_evaluation_domain
 from ..relations.r1cs import R1CSConstraintSystem
 from ..utils.bigint import ints_to_limbs
 
 
-def qap_domain_size(cs: R1CSConstraintSystem) -> int:
+def qap_domain_size(cs: R1CSConstraintSystem, F=None) -> int:
+    """Domain size for the QAP: the size of the best evaluation domain
+    holding num_constraints + num_inputs + 1 points (r1cs_to_qap.tcc:119
+    via get_evaluation_domain).  With F the selection honours the field's
+    2-adicity / small-subgroup structure (may be non-power-of-two for
+    MNT6753-Fr); without F it falls back to next-power-of-two."""
     n = cs.num_constraints + cs.primary_input_size + 1
-    # round up to the next supported domain size (power of two; the
-    # mixed-radix 2^a 5^b path engages only for MNT6753-Fr callers that
-    # ask for it explicitly)
+    if F is not None:
+        return get_domain_of_min_size(F, n).n
     size = 1
     while size < n:
         size *= 2
@@ -64,10 +68,16 @@ class QAPInstanceEvaluation:
 def instance_map_with_evaluation(
     cs: R1CSConstraintSystem, t: int, F
 ) -> QAPInstanceEvaluation:
-    """r1cs_to_qap_instance_map_with_evaluation (tcc:105-177)."""
+    """r1cs_to_qap_instance_map_with_evaluation (tcc:105-177).
+
+    Uses the same domain selection as witness_map (tcc:119's
+    get_evaluation_domain) so keygen and prover always agree — the
+    round-1 hard-coded Radix2Domain raised for MNT6753-Fr domains
+    beyond 2^15."""
     p = cs.p
-    n = qap_domain_size(cs)
-    domain = Radix2Domain(F, n)
+    nmin = cs.num_constraints + cs.primary_input_size + 1
+    domain = get_domain_of_min_size(F, nmin)
+    n = domain.n
 
     nvar = cs.num_variables
     At = [0] * (nvar + 1)
@@ -107,12 +117,12 @@ def instance_map_with_evaluation(
     )
 
 
-def assemble_abc_evaluations(cs: R1CSConstraintSystem, primary, auxiliary):
+def assemble_abc_evaluations(cs: R1CSConstraintSystem, primary, auxiliary, F=None):
     """Evaluations of A, B, C over the domain as host int lists
     (tcc:225-238 + the aC loop at :286-291).  Returns (aA, aB, aC),
-    each of length qap_domain_size(cs)."""
+    each of length qap_domain_size(cs, F)."""
     p = cs.p
-    n = qap_domain_size(cs)
+    n = qap_domain_size(cs, F)
     assignment = list(primary) + list(auxiliary)
     aA = [0] * n
     aB = [0] * n
@@ -161,10 +171,24 @@ def witness_map_device(model, ca, cb, cc, d1=None, d2=None, d3=None):
         patch = F.add(F.mul(A_coeff, d2), F.mul(B_coeff, d1))
         patch = patch.at[:, 0:1].set(F.sub(patch[:, 0:1], d3))
         d1d2 = F.mul(d1, d2)
-        # Z(x) = x^n - 1: add d1d2 at degree n, subtract at degree 0
-        patch = patch.at[:, 0:1].set(F.sub(patch[:, 0:1], d1d2))
+        # Z's sparse coefficient structure comes from the domain itself
+        # (probe add_poly_Z with coeff=1), so extended/step/mixed domains
+        # get their correct vanishing polynomial, not x^n - 1.
+        z_probe = [0] * (n + 1)
+        domain.add_poly_Z(1, z_probe)
+        top = F.zeros((1,))
+        for deg, zc in enumerate(z_probe):
+            if zc % F.p == 0:
+                continue
+            term = F.mul_const(d1d2, F.const(zc % F.p))
+            if deg == n:
+                top = F.add(top, term)
+            else:
+                patch = patch.at[:, deg : deg + 1].set(
+                    F.add(patch[:, deg : deg + 1], term)
+                )
         H = F.add(H, patch)
-        top = d1d2
+        return jnp.concatenate([H, top], axis=1)  # (48, n+1)
 
     return jnp.concatenate([H, top], axis=1)  # (48, n+1)
 
@@ -176,7 +200,7 @@ def witness_map(model, cs: R1CSConstraintSystem, primary, auxiliary,
     Returns (full_assignment ints, H coefficient planes (48, n+1))."""
     F = model.Fr
     spec = F.spec
-    aA, aB, aC = assemble_abc_evaluations(cs, primary, auxiliary)
+    aA, aB, aC = assemble_abc_evaluations(cs, primary, auxiliary, F)
     ca = jnp.asarray(ints_to_limbs([spec.to_mont(v) for v in aA]))
     cb = jnp.asarray(ints_to_limbs([spec.to_mont(v) for v in aB]))
     cc = jnp.asarray(ints_to_limbs([spec.to_mont(v) for v in aC]))

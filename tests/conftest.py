@@ -1,16 +1,17 @@
 """Test configuration.
 
-This image's sitecustomize imports JAX at interpreter startup (axon TPU
-plugin), so config defaults are frozen before any env var set here
-could be read — all knobs must go through jax.config.update, which works
-post-import.
+This image's sitecustomize imports JAX at interpreter startup and — when
+the axon TPU tunnel is up — calls jax.config.update("jax_platforms",
+"axon,cpu"), CLOBBERING any JAX_PLATFORMS env var.  Env vars therefore
+cannot select the backend; only jax.config.update post-import can.
 
-Tests run on the default backend (the real TPU chip when the axon
-tunnel is up — compute correctness is then verified on target
-hardware; plain CPU otherwise).  Multi-chip sharding tests explicitly
-request the virtual 8-device CPU mesh via jax.devices("cpu"):
-XLA_FLAGS is set here, before the CPU client's first initialization,
-which is early enough.
+Tests default to the REAL CPU backend: the tunneled TPU pays ~100-200 s
+of first-touch warm-up per process plus ~0.4 s per host fetch, which
+made the round-1 "on-TPU" test runs pathologically slow.  On-chip
+verification happens through bench.py and the driver's entry()
+compile-check instead.  Set SNARK_TEST_PLATFORM=default to run the
+suite on whatever backend sitecustomize selected (e.g. a deliberate
+on-TPU correctness pass), or =tpu / =axon explicitly.
 """
 
 import os
@@ -23,6 +24,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+_plat = os.environ.get("SNARK_TEST_PLATFORM", "cpu")
+if _plat != "default":
+    jax.config.update("jax_platforms", _plat)
 
 # persistent compilation cache: XLA compiles of the big unrolled bignum
 # programs dominate test time; cache them across runs

@@ -61,13 +61,60 @@ def test_msm_small_scalars(model_get, oracle_get, grp, rng):
 
     # exercise several window widths incl. digit collisions; scalar_bits=64
     # bounds the Horner chain (full-width digit slicing is covered by
-    # test_window_digits_fullwidth and the e2e golden test)
-    for c in (4, 8):
+    # test_window_digits_fullwidth and the e2e golden test).  The "tree"
+    # run covers the work-efficient Ladner-Fischer scan + the
+    # group-subtraction segment totals.
+    for c, impl in ((4, "hillis"), (8, "hillis"), (5, "tree")):
         out = jax.jit(
-            lambda p, s: msm_mod.msm(G, p, s, c, scalar_bits=64)
+            lambda p, s: msm_mod.msm(G, p, s, c, scalar_bits=64, scan_impl=impl)
         )(P, S)
         got = _unpack_pts(G, spec, out)
-        assert got == [want], f"c={c}"
+        assert got == [want], f"c={c} impl={impl}"
+
+
+@pytest.mark.parametrize(
+    "model_get,oracle_get,grp",
+    [
+        (mnt4753.get, mnt4753_oracle, "g1"),
+        (mnt4753.get, mnt4753_oracle, "g2"),
+        (mnt6753.get, mnt6753_oracle, "g1"),
+    ],
+    ids=["m4-g1", "m4-g2", "m6-g1"],
+)
+def test_msm_full_width_scalars(model_get, oracle_get, grp, rng):
+    """753-bit scalars exercise the W=84-189 window-count regime where
+    both round-1 TPU faults lived (VERDICT items 1/7).  Heavy on CPU
+    (gate: SNARK_TPU_HEAVY_TESTS), always-on when a TPU is attached."""
+    import os
+
+    if jax.default_backend() != "tpu" and not os.environ.get(
+        "SNARK_TPU_HEAVY_TESTS"
+    ):
+        pytest.skip("full-width MSM on CPU is minutes-slow; set SNARK_TPU_HEAVY_TESTS=1")
+
+    model = model_get()
+    ocur = oracle_get()
+    OG = getattr(ocur, grp)
+    gen = ocur.g1_gen if grp == "g1" else ocur.g2_gen
+    G = model.G1 if grp == "g1" else model.G2
+    spec = model.Fq.spec
+
+    N = 8
+    pts = [OG.mul(rng.getrandbits(40) | 1, gen) for _ in range(N - 1)] + [None]
+    scalars = [rng.getrandbits(753) for _ in range(N - 2)] + [0, model.Fr.p - 1]
+
+    want = None
+    for s, P in zip(scalars, pts):
+        want = OG.add(want, OG.mul(s, P))
+
+    P = _pack_pts(G, model.Fq, spec, pts)
+    S = jnp.asarray(ints_to_limbs(scalars))
+
+    # the uniform G2 window policy (TPU floors c at 8; CPU keeps c)
+    c = msm_mod.g2_window_bits(N, 4) if grp == "g2" else 4
+    out = jax.jit(lambda p, s: msm_mod.msm(G, p, s, c))(P, S)
+    got = _unpack_pts(G, spec, out)
+    assert got == [want], f"c={c}"
 
 
 def test_msm_multi_matches_singles(rng):

@@ -1,7 +1,8 @@
 """Pallas Montgomery-mul kernel vs the XLA field core, bit-for-bit.
 
-On CPU CI the kernel runs in Pallas interpreter mode; on TPU the same
-test exercises the compiled kernel (tests/conftest.py forces cpu)."""
+Runs on whatever backend is default (conftest does NOT force a
+platform): on CPU the kernel runs in Pallas interpreter mode; on TPU
+the same test exercises the compiled Mosaic kernel."""
 
 import random
 
