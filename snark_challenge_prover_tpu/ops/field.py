@@ -40,6 +40,7 @@ class Fp:
         # numpy lowers to inline constants with zero device traffic.
         self.p_limbs = int_to_limbs(spec.p)
         self.nprime_limbs = int_to_limbs(spec.n_prime)
+        self._mxu_mats = None  # lazily-built Toeplitz REDC matrices
         self.mont_one = int_to_limbs(spec.R % spec.p)
         self.zero_limbs = np.zeros(self.L, np.uint32)
         # multiplicative generator, in Montgomery form
@@ -104,6 +105,80 @@ class Fp:
         u = lb.normalize(u)  # low 48 limbs are now zero
         return lb.cond_sub(u[self.L :], self.p_limbs)
 
+    # ---- MXU Toeplitz REDC ---------------------------------------------
+    # The two constant-operand convolutions of REDC (m = t*n' mod R and
+    # m*p) are matmuls against banded constant matrices.  On 8-bit limb
+    # planes every product (<= 255*255) is exact in bfloat16 inputs and
+    # every <=96-term accumulation (< 2^23) is exact in float32 — so both
+    # convolutions run on the MXU systolic array bit-exactly, leaving only
+    # the variable a*b convolution on the VPU.  This is the TPU answer to
+    # cuda-fixnum's digit-serial CIOS splice (modnum_monty_cios.cu:85-127):
+    # the constant half of the reduction becomes dense matrix math at MXU
+    # rates instead of a carry chain.  Enable with SNARK_TPU_MXU=1.
+    def _mxu_matrices(self):
+        if self._mxu_mats is None:
+            L8 = 2 * self.L  # 96 byte limbs
+            npb = np.zeros(L8, np.float32)
+            pb = np.zeros(L8, np.float32)
+            npv, pv = self.spec.n_prime, self.spec.p
+            for i in range(L8):
+                npb[i] = (npv >> (8 * i)) & 0xFF
+                pb[i] = (pv >> (8 * i)) & 0xFF
+            # m[k] = sum_{i+j=k, k<96} t_lo[i] * n'[j]   (low-half Toeplitz)
+            k = np.arange(L8)[:, None]
+            i = np.arange(L8)[None, :]
+            d = k - i
+            np_mat = np.where((d >= 0) & (d < L8), npb[np.clip(d, 0, L8 - 1)], 0.0)
+            # (m*p)[k] = sum_{j} m[j] * p[k-j],  k in [0, 192)
+            k2 = np.arange(2 * L8)[:, None]
+            d2 = k2 - i
+            p_mat = np.where((d2 >= 0) & (d2 < L8), pb[np.clip(d2, 0, L8 - 1)], 0.0)
+            self._mxu_mats = (np_mat, p_mat)
+        return self._mxu_mats
+
+    @staticmethod
+    def _to_bytes(x16):
+        """Canonical 16-bit limbs (L, *batch) -> byte limbs (2L, *batch)."""
+        lo = x16 & jnp.uint32(0xFF)
+        hi = x16 >> 8
+        return jnp.stack([lo, hi], axis=1).reshape((2 * x16.shape[0],) + x16.shape[1:])
+
+    @staticmethod
+    def _mxu_matmul(mat, xb):
+        """Exact banded matmul: f32 constant matrix x byte-limb planes.
+        Inputs cast to bf16 (exact for ints <= 255), f32 accumulation
+        (exact: sums < 96*255^2 < 2^23) -> MXU on TPU, plain f32 elsewhere."""
+        batch = xb.shape[1:]
+        x2 = xb.reshape(xb.shape[0], -1).astype(jnp.bfloat16)
+        m = jnp.asarray(mat, jnp.bfloat16)
+        out = jax.lax.dot_general(
+            m, x2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return out.astype(jnp.uint32).reshape((mat.shape[0],) + batch)
+
+    def _redc_mxu(self, t):
+        """t (96 redundant 16-bit limbs, value < R*p) -> t*R^{-1} mod p.
+        Bit-identical to _redc; the constant convolutions ride the MXU."""
+        np_mat, p_mat = self._mxu_matrices()
+        t = lb.normalize(t)                    # canonical 16-bit, 96 rows
+        tb = self._to_bytes(t)                 # canonical bytes, 192 rows
+        m_red = self._mxu_matmul(np_mat, tb[: 2 * self.L])   # (96,*b) < 2^23
+        # redundant bytes -> canonical 16-bit limbs of m  (pairs: < 2^32)
+        m16 = m_red[0::2] + (m_red[1::2] << 8)
+        m16 = lb.normalize(m16)
+        mb = self._to_bytes(m16)               # canonical bytes of m
+        mp = self._mxu_matmul(p_mat, mb)       # (192,*b) < 2^23
+        u = tb + mp
+        u16 = u[0::2] + (u[1::2] << 8)         # < 2^32, 96 rows
+        u16 = lb.normalize(u16)                # low 48 limbs now zero
+        return lb.cond_sub(u16[self.L :], self.p_limbs)
+
+    @staticmethod
+    def _mxu_enabled() -> bool:
+        import os
+
+        return os.environ.get("SNARK_TPU_MXU", "0") == "1"
+
     # Batches at least this large route to the fused Pallas TPU kernel
     # (ops.pallas_field): one VMEM-resident program instead of the XLA
     # fori/dynamic-update-slice convolutions (33x standalone at 2^20).
@@ -146,6 +221,8 @@ class Fp:
             tile = 256 if total % 256 == 0 else 128
             out = mont_mul_pallas(self.spec, A, B, tile)
             return out.reshape((self.L,) + batch)
+        if self._mxu_enabled():
+            return self._redc_mxu(lb.mul_wide(a, b))
         return self._redc(lb.mul_wide(a, b))
 
     def mul(self, a, b):

@@ -272,8 +272,12 @@ def generator(model, cs: R1CSConstraintSystem, rng) -> Keypair:
         ABC_host = [hc.g1.mul(ABC[i], g1b) for i in range(inst.num_inputs + 1)]
 
     def np_pair(aff):
-        x, y, _ = aff
-        return (np.asarray(x), np.asarray(y))
+        # wire-format affine pairs: identity stores y = 0 so from_affine
+        # (read_g1 semantics) round-trips it — to_affine yields (0, 1, 0)
+        # for the identity, which (x, y)-only storage would corrupt
+        x, y, z = (np.asarray(t) for t in aff)
+        alive = z.reshape(-1, z.shape[-1]).any(axis=0)
+        return (x, np.where(alive, y, 0).astype(y.dtype))
 
     pk = ProvingKey(
         curve=model.name,
@@ -383,14 +387,19 @@ def prover(model, pk: ProvingKey, primary, auxiliary, rng,
             hc.g2.add(pk.beta_g2, Bt2), hc.g2.mul(s, pk.delta_g2)
         )
         # C = Ht + Lt + s*A + r*B - rs*delta
+        HtLt = hc.g1.add(Ht, Lt)
         g1_C = hc.g1.add(
-            hc.g1.add(hc.g1.add(Ht, Lt), hc.g1.mul(s, g1_A)),
+            hc.g1.add(HtLt, hc.g1.mul(s, g1_A)),
             hc.g1.add(
                 hc.g1.mul(r, g1_B),
                 hc.g1.neg(hc.g1.mul(r * s % r_p, pk.delta_g1)),
             ),
         )
-    return Proof(g_A=g1_A, g_B=g2_B, g_C=g1_C)
+    proof = Proof(g_A=g1_A, g_B=g2_B, g_C=g1_C)
+    # blinding internals for delta-randomizing wrappers (proof_systems.bg
+    # re-derives C over delta' = d*delta from these O(1) host values)
+    proof._extras = (HtLt, r, s, g1_A, g1_B, pk.delta_g1)
+    return proof
 
 
 # ---------------------------------------------------------------------------

@@ -72,11 +72,16 @@ class LinearCombination:
 
 @dataclass
 class R1CSConstraint:
-    """<a,w> * <b,w> = <c,w>  (r1cs.hpp:52 r1cs_constraint<FieldT>)."""
+    """<a,w> * <b,w> = <c,w>  (r1cs.hpp:52 r1cs_constraint<FieldT>).
+
+    is_square marks a==b constraints (r1cs.hpp:57): the R1CS->SAP
+    reduction keeps them as a single square constraint instead of the
+    two-constraint (a+b)^2 / (a-b)^2 split."""
 
     a: LinearCombination
     b: LinearCombination
     c: LinearCombination
+    is_square: bool = False
 
 
 class R1CSConstraintSystem:
@@ -98,6 +103,12 @@ class R1CSConstraintSystem:
     @property
     def num_constraints(self) -> int:
         return len(self.constraints)
+
+    @property
+    def num_square_constraints(self) -> int:
+        """Constraints flagged a==b (r1cs.hpp:119); consumed by
+        reductions.r1cs_to_sap."""
+        return sum(1 for c in self.constraints if c.is_square)
 
     def add_constraint(self, c: R1CSConstraint):
         self.constraints.append(c)

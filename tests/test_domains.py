@@ -92,5 +92,10 @@ def test_domain_selection():
     assert isinstance(get_evaluation_domain(F4, 12), StepRadix2Domain)
     assert isinstance(get_evaluation_domain(F6, 1 << 16), ExtendedRadix2Domain)
     assert isinstance(get_evaluation_domain(F6, 40), MixedRadixDomain)  # 2^3 * 5
-    with pytest.raises(ValueError):
-        get_evaluation_domain(F4, 7)  # 7 = 4+2+1: no supported shape
+    # 7 = 4+2+1: no structured shape -> sequence-domain fallback, matching
+    # libfqfft get_evaluation_domain's geometric fallback
+    from snark_challenge_prover_tpu.ops.sequence_domains import (
+        GeometricSequenceDomain,
+    )
+
+    assert isinstance(get_evaluation_domain(F4, 7), GeometricSequenceDomain)
