@@ -132,6 +132,38 @@ def main():
     from snark_challenge_prover_tpu.config import apply_jax_platform_env
 
     apply_jax_platform_env()
+    # persistent compile cache (TPU executables from prior runs included)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", str(REPO / "tests" / ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    # The axon TPU tunnel can be transiently down ("TPU backend
+    # setup/compile error"); rather than crash with no number, retry,
+    # then fall back to a smaller CPU-backend measurement (flagged in
+    # the metric name so it is never mistaken for a TPU figure).
+    platform = "tpu"
+    import time as _time
+
+    for attempt in range(int(os.environ.get("BENCH_TPU_RETRIES", "3"))):
+        try:
+            devs = jax.devices()
+            if any(d.platform in ("tpu", "axon") for d in devs):
+                break
+            platform = "cpu"
+            break
+        except RuntimeError as e:
+            sys.stderr.write(f"# TPU init attempt {attempt}: {e}\n")
+            _time.sleep(60)
+    else:
+        platform = "cpu"
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("BENCH_LOG2_D", "8")  # CPU-feasible size
+        sys.stderr.write("# TPU unavailable - CPU fallback measurement\n")
     os.environ.setdefault("SNARK_TPU_PROFILE", "0")
     log2_d = int(os.environ.get("BENCH_LOG2_D", "12"))
     curve = os.environ.get("BENCH_CURVE", "MNT4753")
@@ -183,10 +215,13 @@ def main():
         if cpu_out and cpu_out.exists():
             byte_exact = hashlib.sha256(cpu_out.read_bytes()).hexdigest() == our_sha
 
+    suffix = "" if platform == "tpu" else "_cpufallback"
     print(
         json.dumps(
             {
-                "metric": f"groth16_{curve.lower()}_proof_latency_2e{log2_d}",
+                "metric": (
+                    f"groth16_{curve.lower()}_proof_latency_2e{log2_d}{suffix}"
+                ),
                 "value": round(steady_s, 4),
                 "unit": "s",
                 "vs_baseline": vs_baseline,

@@ -15,9 +15,10 @@ import time
 
 
 def main(argv=None):
-    from .config import apply_jax_platform_env
+    from .config import apply_jax_platform_env, setup_compilation_cache
 
     apply_jax_platform_env()
+    setup_compilation_cache()
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) != 5 or argv[1] != "compute":
         print(

@@ -34,9 +34,10 @@ def _mul_block(F, a_bytes: bytes, b_bytes: bytes) -> bytes:
 
 
 def main(argv=None) -> int:
-    from .config import apply_jax_platform_env
+    from .config import apply_jax_platform_env, setup_compilation_cache
 
     apply_jax_platform_env()
+    setup_compilation_cache()
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) != 2:
         print("usage: cli_fixnum <inputs> <outputs>", file=sys.stderr)

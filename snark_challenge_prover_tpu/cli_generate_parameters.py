@@ -100,9 +100,10 @@ def generate_for_curve(model, log2_d: int, rng, outdir: Path):
 
 
 def main(argv=None) -> int:
-    from .config import apply_jax_platform_env
+    from .config import apply_jax_platform_env, setup_compilation_cache
 
     apply_jax_platform_env()
+    setup_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="full", choices=["full", "fast"])
     ap.add_argument("--log2d-mnt4", type=int, default=None)

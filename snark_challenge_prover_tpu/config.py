@@ -32,6 +32,29 @@ def apply_jax_platform_env() -> None:
             pass
 
 
+def setup_compilation_cache(path: str | None = None) -> None:
+    """Enable the persistent XLA compilation cache (tests/.jax_cache by
+    default, override with SNARK_TPU_CACHE_DIR; SNARK_TPU_CACHE=0
+    disables).  The scan-heavy 753-bit graphs cost minutes-to-hours to
+    compile cold on XLA:CPU, so every entry point opts in."""
+    if os.environ.get("SNARK_TPU_CACHE", "1") == "0":
+        return
+    import pathlib
+
+    import jax
+
+    cache = path or os.environ.get(
+        "SNARK_TPU_CACHE_DIR",
+        str(pathlib.Path(__file__).resolve().parents[1] / "tests" / ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
 def _env_int(name, default):
     v = os.environ.get(name)
     return int(v) if v is not None else default

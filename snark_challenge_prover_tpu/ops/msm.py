@@ -50,31 +50,27 @@ def default_window_bits(n: int) -> int:
     return max(4, min(16, int(math.log2(n)) - 3))
 
 
-# Full-width (753-bit) extension-field MSMs with window c=4 reproducibly
-# crash the TPU runtime worker ("kernel fault") on current axon stacks,
-# while c=8 runs clean (tools/tpu_g2_probe.py reproduces both).  Any
-# window split computes the identical group element, so every G2 path
-# shares this floor whenever the computation targets a TPU backend.
-# Override via SNARK_TPU_G2_WINDOW.
+# Full-width (753-bit) extension-field MSMs with window c=4 (W=189
+# windows) are hazardous on BOTH backends of this image: they
+# reproducibly crash the TPU runtime worker ("kernel fault";
+# tools/tpu_g2_probe.py) AND segfault the XLA:CPU compiler after ~1 h
+# (stack overflow in a compiler pass — it killed the round-2 gm17 test
+# run; /tmp/g2_repro.py).  c=8 (W=95) is clean on both.  Any window
+# split computes the identical group element, so every G2 path shares
+# this floor on every backend.  Override via SNARK_TPU_G2_WINDOW.
 G2_MIN_WINDOW = 8
 
 
 def g2_window_bits(n: int, requested: int | None = None) -> int:
-    """The single G2 window policy (guards the TPU c<8 kernel fault)."""
+    """The single G2 window policy (guards the c<8 TPU kernel fault and
+    the XLA:CPU compiler segfault — see G2_MIN_WINDOW)."""
     import os
 
     env = os.environ.get("SNARK_TPU_G2_WINDOW")
     if env is not None:
         return int(env)
     base = requested if requested is not None else default_window_bits(n)
-    try:
-        import jax
-
-        if jax.default_backend() == "tpu":
-            return max(base, G2_MIN_WINDOW)
-    except Exception:
-        pass
-    return base
+    return max(base, G2_MIN_WINDOW)
 
 
 def window_digits(scalars, c: int, scalar_bits: int = SCALAR_BITS):
