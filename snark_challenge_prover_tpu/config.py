@@ -68,7 +68,7 @@ def _env_str(name, default):
 class Config:
     # MSM
     msm_window: int | None = None          # None = size heuristic
-    msm_scan_impl: str = "hillis"          # "hillis" | "assoc"
+    msm_scan_impl: str = "hillis"          # "hillis" | "assoc" | "tree"
     msm_window_group: int | None = None    # windows vectorized per scan step
     # FFT
     fft_impl: str = "radix2"
@@ -76,9 +76,16 @@ class Config:
     mesh_devices: int | None = None        # None = all
     # profiling
     profile: bool = True
+    # LOWMEM (CMakeLists.txt:63 "Limit the size of multi-exp tables"):
+    # on TPU the working-set knob is the window grouping — LOWMEM pins
+    # it to one window per scan step and halves the fixed-base window.
+    # (USE_MIXED_ADDITION needs no knob here: MSM inputs enter as Z=1
+    # affine planes and the masked formulas exploit that by default.)
+    lowmem: bool = False
 
     @classmethod
     def from_env(cls) -> "Config":
+        lowmem = os.environ.get("SNARK_TPU_LOWMEM", "0") == "1"
         return cls(
             msm_window=(
                 int(os.environ["SNARK_TPU_MSM_WINDOW"])
@@ -89,7 +96,7 @@ class Config:
             msm_window_group=(
                 int(os.environ["SNARK_TPU_MSM_WGROUP"])
                 if "SNARK_TPU_MSM_WGROUP" in os.environ
-                else None
+                else (1 if lowmem else None)
             ),
             mesh_devices=(
                 int(os.environ["SNARK_TPU_MESH_DEVICES"])
@@ -97,6 +104,7 @@ class Config:
                 else None
             ),
             profile=os.environ.get("SNARK_TPU_PROFILE", "1") != "0",
+            lowmem=lowmem,
         )
 
 
