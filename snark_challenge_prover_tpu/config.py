@@ -32,11 +32,35 @@ def apply_jax_platform_env() -> None:
             pass
 
 
+def raise_stack_limit(size: int = 256 << 20) -> None:
+    """Raise RLIMIT_STACK before XLA spawns its compile threads: the
+    XLA:CPU compiler overflows the default 8 MB pthread stacks on
+    753-bit G2 scan graphs (observed as a libjax_common.so segfault
+    after ~15-60 min of compile; dmesg fault address just below sp).
+    pthread stacks inherit the soft limit at creation time, so calling
+    this at entry-point start covers the lazily-created compiler pool."""
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        want = size
+        if hard != resource.RLIM_INFINITY:
+            want = min(want, hard)
+        if soft == resource.RLIM_INFINITY or soft >= want:
+            return
+        resource.setrlimit(resource.RLIMIT_STACK, (want, hard))
+    except Exception:
+        pass
+
+
 def setup_compilation_cache(path: str | None = None) -> None:
     """Enable the persistent XLA compilation cache (tests/.jax_cache by
     default, override with SNARK_TPU_CACHE_DIR; SNARK_TPU_CACHE=0
     disables).  The scan-heavy 753-bit graphs cost minutes-to-hours to
-    compile cold on XLA:CPU, so every entry point opts in."""
+    compile cold on XLA:CPU, so every entry point opts in.  Also raises
+    the stack rlimit (see raise_stack_limit) — both protections matter
+    for any process that may compile G2-sized graphs."""
+    raise_stack_limit()
     if os.environ.get("SNARK_TPU_CACHE", "1") == "0":
         return
     import pathlib

@@ -17,6 +17,15 @@ on-TPU correctness pass), or =tpu / =axon explicitly.
 import os
 from pathlib import Path
 
+# 8 MB pthread stacks overflow in the XLA:CPU compiler on G2-sized
+# graphs (config.raise_stack_limit docstring); raise before jax import
+import resource
+
+try:
+    resource.setrlimit(resource.RLIMIT_STACK, (256 << 20, -1))
+except (ValueError, OSError):
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
