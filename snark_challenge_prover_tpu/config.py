@@ -32,13 +32,16 @@ def apply_jax_platform_env() -> None:
             pass
 
 
-def raise_stack_limit(size: int = 256 << 20) -> None:
+def raise_stack_limit(size: int = 2 << 30) -> None:
     """Raise RLIMIT_STACK before XLA spawns its compile threads: the
     XLA:CPU compiler overflows the default 8 MB pthread stacks on
     753-bit G2 scan graphs (observed as a libjax_common.so segfault
     after ~15-60 min of compile; dmesg fault address just below sp).
     pthread stacks inherit the soft limit at creation time, so calling
-    this at entry-point start covers the lazily-created compiler pool."""
+    this at entry-point start covers the lazily-created compiler pool.
+    256 MB was NOT enough for the composite sharded prove-step program
+    (round-3 dryrun segfaulted ~50 min into its CPU compile); the
+    stack is lazily faulted so a 2 GB soft limit costs nothing."""
     try:
         import resource
 

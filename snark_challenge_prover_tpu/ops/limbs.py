@@ -28,8 +28,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 LIMB_BITS = 16
-LIMB_MASK = jnp.uint32(0xFFFF)
+# numpy scalar, NOT jnp: a module-level jnp constant would initialize
+# the JAX backend at import time, before entry points can force the
+# platform (this exact pattern sent round-2's dryrun_multichip onto the
+# tunneled TPU instead of the 8-device CPU mesh - MULTICHIP_r02 rc=124)
+LIMB_MASK = np.uint32(0xFFFF)
 
 _u32 = jnp.uint32
 _i32 = jnp.int32

@@ -115,3 +115,78 @@ def prove_step_sharded(mesh: Mesh, model, params_dev, input_dev, d: int, m: int,
     # the O(1) host tail (proof_systems.groth16.prove_arrays); keeping it
     # out of the step trims two batch-inversion scans from the graph
     return (At, Bt2, C)
+
+
+def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
+                              d: int, m: int, c: int | None = None,
+                              scan_impl: str = "hillis"):
+    """The same distributed prove step as prove_step_sharded, compiled
+    as four smaller programs instead of one monolith — the partitioning
+    the production single-chip prover uses (proof_systems.groth16
+    ChallengeProver: h/g1/g2 stages + O(1) assembly).
+
+    Rationale: the monolithic step's XLA:CPU compile OVERFLOWS THE
+    COMPILER'S OWN STACK on this image (libjax_common.so segfault ~1 h
+    into the compile, reproducible with 8 MB, 256 MB and 2 GB rlimits —
+    the crashing pass recurses over the whole-program graph).  The
+    staged programs compile in minutes each and cache independently.
+    Same math, same shardings, same collectives as the monolith.
+    """
+    import jax
+
+    F = model.Fr
+    G1, G2 = model.G1, model.G2
+    D = mesh.shape[DATA_AXIS]
+    domain = get_evaluation_domain(F, d + 1)
+
+    @jax.jit
+    def h_stage(ca, cb, cc, w, r):
+        h = compute_h(model, domain, ca, cb, cc)
+        return (F.to_canonical(w), F.to_canonical(h[:, :d]),
+                F.to_canonical(r))
+
+    w_can, h_can, r_can = h_stage(
+        input_dev["ca"], input_dev["cb"], input_dev["cc"],
+        input_dev["w"], input_dev["r"],
+    )
+
+    @jax.jit
+    def g1_stage(A, B1, H, L, w_can, h_can):
+        pts4, scal4 = msm_mod.pad_and_stack(
+            F,
+            [G1.from_affine(*A), G1.from_affine(*B1),
+             G1.from_affine(*H), G1.from_affine(*L)],
+            [w_can, w_can, h_can, w_can[:, 2:]],
+        )
+        pts4 = tuple(_pad_to(pts4, D))
+        (scal4,) = _pad_to([scal4], D)
+        return msm_multi_sharded(mesh, G1, pts4, scal4, c=c,
+                                 scan_impl=scan_impl)
+
+    g1_res = g1_stage(params_dev["A"], params_dev["B1"], params_dev["H"],
+                      params_dev["L"], w_can, h_can)
+
+    @jax.jit
+    def g2_stage(B2, w_can):
+        x2, y2 = B2
+        pts2 = tuple(a[..., None, :] for a in G2.from_affine(x2, y2))
+        pts2 = tuple(_pad_to(pts2, D))
+        scal2 = w_can[:, None, :]
+        (scal2,) = _pad_to([scal2], D)
+        c2 = msm_mod.g2_window_bits(scal2.shape[-1] // D, c)
+        return msm_multi_sharded(mesh, G2, pts2, scal2, c=c2,
+                                 scan_impl=scan_impl)
+
+    Bt2 = g2_stage(params_dev["B2"], w_can)
+
+    @jax.jit
+    def c_stage(g1_res, r_can):
+        Ht = tuple(t[..., 2:3] for t in g1_res)
+        Lt = tuple(t[..., 3:4] for t in g1_res)
+        Bt1 = tuple(t[..., 1:2] for t in g1_res)
+        rBt1 = G1.scalar_mul_limbs(Bt1, r_can)
+        return G1.add(G1.add(Ht, Lt), rBt1)
+
+    C = c_stage(g1_res, r_can)
+    At = tuple(t[..., 0:1] for t in g1_res)
+    return (At, Bt2, C)
