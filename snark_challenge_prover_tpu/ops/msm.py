@@ -443,6 +443,218 @@ def msm(curve: Curve, points, scalars_canonical, c: int | None = None,
                      window_group, scalar_bits, scan_impl)
 
 
+# ---------------------------------------------------------------------------
+# Staged (multi-program) MSM — the TPU execution path.
+#
+# The monolithic msm_multi faults the TPU worker when the flattened
+# (window_group, M, N) lane batch exceeds ~2^16: an XLA->Mosaic codegen
+# defect emerges at the bucket-scatter -> bucket-triangle boundary (every
+# stage passes in ISOLATION at the faulting shape; see PLAN.md round-3
+# root cause and tools/tpu_msm_probe / tpu_msm_bisect / tpu_msm_compose).
+# An optimization_barrier does NOT prevent it (probe p4b), so the fix is
+# structural: split the pipeline into SEPARATE XLA programs at exactly
+# that boundary — a bucket-accumulation program (sort/gather/mask/
+# segmented-scan/scatter, + one EC add to fold N-chunks) and a
+# triangle+Horner program — orchestrated by a host loop over window
+# groups.  Program boundaries cannot fuse.  This is also the shape of the
+# reference's own OpenMP chunk split (multiexp.tcc:403-441): partial
+# bucket accumulations per chunk, combined before the final walk.
+#
+# Results are bit-identical to msm_multi: both compute the same group
+# element per window and the identical MSB-first Horner recombination.
+# ---------------------------------------------------------------------------
+
+_STAGE_CACHE: dict = {}
+
+
+def msm_lane_cap() -> int:
+    """Max flattened (Gr*M*Nc) lanes per bucket-accumulation dispatch.
+    2^16 is the empirically clean threshold on the v5e runtime (PLAN.md);
+    override with SNARK_TPU_MSM_LANES for probes."""
+    import os
+
+    return int(os.environ.get("SNARK_TPU_MSM_LANES", str(1 << 16)))
+
+
+def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int):
+    """jit: (acc_buckets, X, Y, Z points chunk, digit chunk) -> acc'.
+    Everything of msm_multi's body UP TO the scatter, plus one EC add to
+    fold this chunk's bucket partials into the accumulator."""
+    key = ("bkt", id(curve), c, Gr, M, Nc)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    F = curve.F
+    B = 1 << c
+
+    def stage(acc, X, Y, Z, digs):
+        # digs: (Gr, M, Nc); points: (..., M, Nc) broadcast over Gr
+        extra = X.ndim - 2
+        idx = jnp.argsort(digs, axis=-1, stable=True).astype(jnp.int32)
+        keys = jnp.take_along_axis(digs, idx, axis=-1)
+
+        def gather(arr):
+            def take_m(a_m, i_m):
+                return jnp.take(a_m, i_m, axis=-1)
+
+            return jax.vmap(take_m, in_axes=(-2, 1), out_axes=-2)(arr, idx)
+
+        Xs, Ys, Zs = gather(X), gather(Y), gather(Z)
+        zero_d = keys == 0
+        batch = (Gr, M, Nc)
+        Xs = F.select(zero_d, F.zeros(batch), Xs)
+        Ys = F.select(zero_d, F.ones(batch), Ys)
+        Zs = F.select(zero_d, F.zeros(batch), Zs)
+
+        start = jnp.concatenate(
+            [jnp.ones((Gr, M, 1), bool), keys[..., 1:] != keys[..., :-1]],
+            axis=-1,
+        )
+        sx, sy, sz = _ec_segmented_scan(curve, (Xs, Ys, Zs), start)
+
+        is_end = jnp.concatenate(
+            [keys[..., 1:] != keys[..., :-1], jnp.ones((Gr, M, 1), bool)],
+            axis=-1,
+        )
+        tgt = jnp.where(is_end, keys, B)  # non-ends -> slot B (dropped)
+        rows = (
+            jnp.arange(Gr)[:, None, None] * (M * (B + 1))
+            + jnp.arange(M)[None, :, None] * (B + 1)
+        )
+        tgt_flat = (rows + tgt).reshape(-1)
+
+        def scatter(vals, init):
+            flat = vals.reshape(vals.shape[:extra] + (-1,))
+            out = init.at[..., tgt_flat].set(flat)
+            return out.reshape(init.shape[:extra] + (Gr, M, B + 1))[..., :B]
+
+        bX = scatter(sx, F.zeros((Gr * M * (B + 1),)))
+        bY = scatter(sy, F.ones((Gr * M * (B + 1),)))
+        bZ = scatter(sz, F.zeros((Gr * M * (B + 1),)))
+        return curve.add(acc, (bX, bY, bZ))
+
+    fn = jax.jit(stage)
+    _STAGE_CACHE[key] = fn
+    return fn
+
+
+def _triangle_program(curve: Curve, c: int, Gr: int, M: int,
+                      scan_impl: str = "hillis"):
+    """jit: (carry, buckets) -> carry'.  Bucket triangle (suffix scan +
+    reduce) then the MSB-first Horner fold of this group's Gr windows."""
+    key = ("tri", id(curve), c, Gr, M, scan_impl)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    from ..utils import op_counts
+
+    def stage(carry, bX, bY, bZ):
+        run = _ec_scan(
+            curve,
+            (bX[..., 1:], bY[..., 1:], bZ[..., 1:]),
+            axis=bX.ndim - 1,
+            reverse=True,
+            impl=scan_impl,
+        )
+        S = _ec_reduce(curve, run)  # (..., Gr, M)
+
+        def dbl(i, P):
+            return curve.double(P)
+
+        def horner_step(cr, S_j):
+            with op_counts.loop_scope(c):
+                cr = jax.lax.fori_loop(0, c, dbl, cr)
+            return curve.add(cr, S_j), None
+
+        S_stacked = tuple(jnp.moveaxis(t, -2, 0) for t in S)
+        with op_counts.loop_scope(Gr):
+            carry, _ = jax.lax.scan(horner_step, carry, S_stacked)
+        return carry
+
+    fn = jax.jit(stage)
+    _STAGE_CACHE[key] = fn
+    return fn
+
+
+def _digits_program(c: int, scalar_bits: int):
+    key = ("dig", c, scalar_bits)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    fn = jax.jit(lambda s: window_digits(s, c, scalar_bits))
+    _STAGE_CACHE[key] = fn
+    return fn
+
+
+def msm_multi_staged(curve: Curve, points, scalars_canonical,
+                     c: int | None = None, window_group: int | None = None,
+                     scalar_bits: int = SCALAR_BITS,
+                     scan_impl: str = "hillis"):
+    """msm_multi computed as a host-orchestrated pipeline of small XLA
+    programs (see block comment above) — same results, TPU-safe shapes.
+
+    points: projective triple with trailing batch (M, N)
+    scalars_canonical: (48, M, N) canonical uint32 limb planes
+    Returns a projective point batch of shape (M,).
+    """
+    F = curve.F
+    X, Y, Z = points
+    M, N = X.shape[-2], X.shape[-1]
+    if c is None:
+        c = default_window_bits(N)
+    B = 1 << c
+    W = (scalar_bits + c - 1) // c
+
+    cap = msm_lane_cap()
+    if window_group is None:
+        # triangle working set Gr*M*B bucket slots <= cap, and the
+        # bucket program's Gr*M*Nc lanes <= cap with a useful Nc
+        window_group = max(1, min(W, cap // max(1, M * B), 16))
+    Gr = window_group
+    Nc = max(128, cap // max(1, Gr * M))
+    n_chunks = (N + Nc - 1) // Nc
+    Np = n_chunks * Nc
+    if Np != N:
+        # zero-scalar padding is free (digit-0 lanes are masked out)
+        padw = [(0, 0)] * (X.ndim - 1) + [(0, Np - N)]
+        X, Y, Z = (jnp.pad(t, padw) for t in (X, Y, Z))
+        scalars_canonical = jnp.pad(
+            scalars_canonical, [(0, 0), (0, 0), (0, Np - N)]
+        )
+    W_pad = ((W + Gr - 1) // Gr) * Gr
+
+    digits = _digits_program(c, scalar_bits)(scalars_canonical)  # (W, M, Np)
+    if W_pad != W:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((W_pad - W, M, Np), jnp.int32)], axis=0
+        )
+    digits = jnp.flip(digits, axis=0)  # MSB-first group order
+
+    bucket = _bucket_program(curve, c, Gr, M, Nc)
+    triangle = _triangle_program(curve, c, Gr, M, scan_impl)
+
+    carry = curve.zero((M,))
+    for g in range(W_pad // Gr):
+        dg = digits[g * Gr : (g + 1) * Gr]  # (Gr, M, Np)
+        acc = (
+            F.zeros((Gr, M, B)),
+            F.ones((Gr, M, B)),
+            F.zeros((Gr, M, B)),
+        )
+        for k in range(n_chunks):
+            sl = slice(k * Nc, (k + 1) * Nc)
+            acc = bucket(acc, X[..., sl], Y[..., sl], Z[..., sl], dg[..., sl])
+        carry = triangle(carry, *acc)
+    return carry
+
+
+def msm_staged(curve: Curve, points, scalars_canonical, c: int | None = None,
+               window_group: int | None = None,
+               scalar_bits: int = SCALAR_BITS, scan_impl: str = "hillis"):
+    """Single staged MSM: points batch (N,), scalars (48, N)."""
+    X, Y, Z = points
+    pts = tuple(a[..., None, :] for a in (X, Y, Z))
+    return msm_multi_staged(curve, pts, scalars_canonical[:, None, :], c,
+                            window_group, scalar_bits, scan_impl)
+
+
 def pad_and_stack(F, point_list, scalar_list):
     """Host helper: pad M (points, scalars) pairs to a common length with
     zero scalars / identity points and stack along a new M axis.

@@ -117,22 +117,19 @@ def prove_step_sharded(mesh: Mesh, model, params_dev, input_dev, d: int, m: int,
     return (At, Bt2, C)
 
 
-def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
-                              d: int, m: int, c: int | None = None,
-                              scan_impl: str = "hillis"):
-    """The same distributed prove step as prove_step_sharded, compiled
-    as four smaller programs instead of one monolith — the partitioning
-    the production single-chip prover uses (proof_systems.groth16
-    ChallengeProver: h/g1/g2 stages + O(1) assembly).
+_STAGED_JIT_CACHE: dict = {}
 
-    Rationale: the monolithic step's XLA:CPU compile OVERFLOWS THE
-    COMPILER'S OWN STACK on this image (libjax_common.so segfault ~1 h
-    into the compile, reproducible with 8 MB, 256 MB and 2 GB rlimits —
-    the crashing pass recurses over the whole-program graph).  The
-    staged programs compile in minutes each and cache independently.
-    Same math, same shardings, same collectives as the monolith.
-    """
+
+def _staged_programs(mesh: Mesh, model, d: int, c, scan_impl: str,
+                     sharded_fft: bool):
+    """The four jitted stage programs, memoized so repeated
+    prove_step_sharded_staged calls (bench loops) don't retrace."""
     import jax
+
+    key = (tuple(id(dev) for dev in mesh.devices.flat), mesh.axis_names,
+           model.name, d, c, scan_impl, sharded_fft)
+    if key in _STAGED_JIT_CACHE:
+        return _STAGED_JIT_CACHE[key]
 
     F = model.Fr
     G1, G2 = model.G1, model.G2
@@ -141,14 +138,12 @@ def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
 
     @jax.jit
     def h_stage(ca, cb, cc, w, r):
-        h = compute_h(model, domain, ca, cb, cc)
+        if sharded_fft:
+            h = compute_h_sharded(mesh, model, ca, cb, cc)
+        else:
+            h = compute_h(model, domain, ca, cb, cc)
         return (F.to_canonical(w), F.to_canonical(h[:, :d]),
                 F.to_canonical(r))
-
-    w_can, h_can, r_can = h_stage(
-        input_dev["ca"], input_dev["cb"], input_dev["cc"],
-        input_dev["w"], input_dev["r"],
-    )
 
     @jax.jit
     def g1_stage(A, B1, H, L, w_can, h_can):
@@ -163,9 +158,6 @@ def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
         return msm_multi_sharded(mesh, G1, pts4, scal4, c=c,
                                  scan_impl=scan_impl)
 
-    g1_res = g1_stage(params_dev["A"], params_dev["B1"], params_dev["H"],
-                      params_dev["L"], w_can, h_can)
-
     @jax.jit
     def g2_stage(B2, w_can):
         x2, y2 = B2
@@ -177,8 +169,6 @@ def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
         return msm_multi_sharded(mesh, G2, pts2, scal2, c=c2,
                                  scan_impl=scan_impl)
 
-    Bt2 = g2_stage(params_dev["B2"], w_can)
-
     @jax.jit
     def c_stage(g1_res, r_can):
         Ht = tuple(t[..., 2:3] for t in g1_res)
@@ -187,6 +177,40 @@ def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
         rBt1 = G1.scalar_mul_limbs(Bt1, r_can)
         return G1.add(G1.add(Ht, Lt), rBt1)
 
+    progs = (h_stage, g1_stage, g2_stage, c_stage)
+    _STAGED_JIT_CACHE[key] = progs
+    return progs
+
+
+def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
+                              d: int, m: int | None = None,
+                              c: int | None = None,
+                              scan_impl: str = "hillis",
+                              sharded_fft: bool = False):
+    """The same distributed prove step as prove_step_sharded, compiled
+    as four smaller programs instead of one monolith — the partitioning
+    the production single-chip prover uses (proof_systems.groth16
+    ChallengeProver: h/g1/g2 stages + O(1) assembly).  `m` is accepted
+    for signature parity with prove_step_sharded but the shapes carry it.
+
+    Rationale: the monolithic step's XLA:CPU compile OVERFLOWS THE
+    COMPILER'S OWN STACK on this image (libjax_common.so segfault ~1 h
+    into the compile, reproducible with 8 MB, 256 MB and 2 GB rlimits —
+    the crashing pass recurses over the whole-program graph).  The
+    staged programs compile in minutes each and cache independently.
+    Same math, same shardings, same collectives as the monolith.
+    """
+    h_stage, g1_stage, g2_stage, c_stage = _staged_programs(
+        mesh, model, d, c, scan_impl, sharded_fft
+    )
+
+    w_can, h_can, r_can = h_stage(
+        input_dev["ca"], input_dev["cb"], input_dev["cc"],
+        input_dev["w"], input_dev["r"],
+    )
+    g1_res = g1_stage(params_dev["A"], params_dev["B1"], params_dev["H"],
+                      params_dev["L"], w_can, h_can)
+    Bt2 = g2_stage(params_dev["B2"], w_can)
     C = c_stage(g1_res, r_can)
     At = tuple(t[..., 0:1] for t in g1_res)
     return (At, Bt2, C)

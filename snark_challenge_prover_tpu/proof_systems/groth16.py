@@ -138,6 +138,41 @@ class ChallengeProver:
         return msm_mod.msm(G2, G2.from_affine(B2[0], B2[1]), w_can,
                            self._g2_window(w_can.shape[-1]))
 
+    # ---- staged MSM execution (the TPU path) -------------------------
+    # The monolithic fused-MSM program faults the TPU worker above 2^16
+    # flattened lanes (async Mosaic codegen defect at the scatter ->
+    # triangle boundary; PLAN.md round-3 root cause).  prove_arrays
+    # therefore runs the MSMs as a host loop of small programs
+    # (msm_multi_staged) by default; SNARK_TPU_STAGED_MSM=0 restores the
+    # single-program path (still used by device_step for compile checks).
+    @staticmethod
+    def _staged_enabled() -> bool:
+        import os
+
+        return os.environ.get("SNARK_TPU_STAGED_MSM", "1") == "1"
+
+    def _g1_prep(self, A, B1, H, L, w_can, h_can, ips: int = 1):
+        """from_affine + pad/stack only — feeds msm_multi_staged."""
+        model = self.model
+        F, G1 = model.Fr, model.G1
+
+        def pts(pair):
+            return G1.from_affine(pair[0], pair[1])
+
+        return msm_mod.pad_and_stack(
+            F,
+            [pts(A), pts(B1), pts(H), pts(L)],
+            [w_can, w_can, h_can, w_can[:, 1 + ips :]],
+        )
+
+    def _g2_prep(self, B2, w_can):
+        G2 = self.model.G2
+        pts = G2.from_affine(B2[0], B2[1])
+        return (
+            tuple(a[..., None, :] for a in pts),
+            w_can[:, None, :],
+        )
+
     def device_step(self, params_dev, input_dev, d: int, m: int):
         """The full device compute of one prove step as a single jittable
         function (used by the driver's single-chip compile check): FFT
@@ -195,21 +230,36 @@ class ChallengeProver:
         h_can = jax.block_until_ready(h_can)
         leave_block("compute H (jit)")
 
+        staged = self._staged_enabled()
         enter_block("G1 multiexp x4 (jit)")
-        g1_res = self._jitted(("g1", d, m), self._g1_stage)(
+        g1_args = (
             tuple(jnp.asarray(a) for a in params.A),
             tuple(jnp.asarray(a) for a in params.B1),
             tuple(jnp.asarray(a) for a in params.H),
             tuple(jnp.asarray(a) for a in params.L),
             w_can, h_can,
         )
+        if staged:
+            pts4, scal4 = self._jitted(("g1prep", d, m), self._g1_prep)(*g1_args)
+            g1_res = msm_mod.msm_multi_staged(
+                self.model.G1, pts4, scal4, self.msm_window
+            )
+        else:
+            g1_res = self._jitted(("g1", d, m), self._g1_stage)(*g1_args)
         g1_res = jax.block_until_ready(g1_res)
         leave_block("G1 multiexp x4 (jit)")
 
         enter_block("G2 multiexp (jit)")
-        g2_res = self._jitted(("g2", m), self._g2_stage)(
-            tuple(jnp.asarray(a) for a in params.B2), w_can
-        )
+        g2_args = (tuple(jnp.asarray(a) for a in params.B2), w_can)
+        if staged:
+            pts2, scal2 = self._jitted(("g2prep", m), self._g2_prep)(*g2_args)
+            g2_res = msm_mod.msm_multi_staged(
+                self.model.G2, pts2, scal2,
+                self._g2_window(w_can.shape[-1]),
+            )
+            g2_res = tuple(t[..., 0] for t in g2_res)  # (M=1,) -> scalar batch
+        else:
+            g2_res = self._jitted(("g2", m), self._g2_stage)(*g2_args)
         g2_res = jax.block_until_ready(g2_res)
         leave_block("G2 multiexp (jit)")
 

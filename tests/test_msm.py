@@ -141,3 +141,36 @@ def test_msm_multi_matches_singles(rng):
     )(pts_m, scal_m)
     got = _unpack_pts(G, spec, out)
     assert got == wants
+
+
+def test_msm_staged_matches_oracle(rng, monkeypatch):
+    """msm_multi_staged (the TPU execution path: host loop of bucket +
+    triangle programs split at the scatter boundary — PLAN.md round-3
+    root cause) == host oracle, with chunking forced so the N-chunk
+    bucket-accumulation fold is exercised."""
+    monkeypatch.setenv("SNARK_TPU_MSM_LANES", "1024")  # force n_chunks > 1
+    model = mnt4753.get()
+    ocur = mnt4753_oracle()
+    G = model.G1
+    spec = model.Fq.spec
+
+    # N=200 > the 128-lane chunk floor so n_chunks=2 with the 1024 cap
+    M, N = 2, 200
+    all_pts, all_scal, wants = [], [], []
+    for i in range(M):
+        uniq = [ocur.g1.mul(rng.getrandbits(40) | 1, ocur.g1_gen) for _ in range(16)]
+        pts = [uniq[j % 16] for j in range(N)]
+        pts[3] = None  # identity in the stream
+        scal = [rng.getrandbits(64) for _ in range(N)]
+        scal[5] = 0
+        want = None
+        for s, P in zip(scal, pts):
+            want = ocur.g1.add(want, ocur.g1.mul(s, P))
+        all_pts.append(_pack_pts(G, model.Fq, spec, pts))
+        all_scal.append(jnp.asarray(ints_to_limbs(scal)))
+        wants.append(want)
+
+    pts_m, scal_m = msm_mod.pad_and_stack(model.Fr, all_pts, all_scal)
+    out = msm_mod.msm_multi_staged(G, pts_m, scal_m, c=5, scalar_bits=64)
+    got = _unpack_pts(G, spec, out)
+    assert got == wants
