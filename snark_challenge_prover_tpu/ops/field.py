@@ -22,6 +22,34 @@ from ..utils.bigint import int_to_limbs
 from . import limbs as lb
 
 
+# ---------------------------------------------------------------------------
+# Pallas dispatch scope.  The fused Montgomery-mul kernel is proven safe
+# (and 5.9x faster) inside the SMALL staged MSM programs but faulted the
+# TPU runtime when fused into the monolithic composite prover graphs
+# (BENCH_r01; PLAN.md).  Stage builders enter this scope at trace time so
+# field muls traced under them auto-route to the kernel; everything else
+# stays on the XLA path unless SNARK_TPU_PALLAS=1 forces it globally.
+# ---------------------------------------------------------------------------
+_PALLAS_SCOPE_DEPTH = 0
+
+
+class pallas_scope:
+    """Context manager marking a trace region as Pallas-kernel-safe."""
+
+    def __enter__(self):
+        global _PALLAS_SCOPE_DEPTH
+        _PALLAS_SCOPE_DEPTH += 1
+
+    def __exit__(self, *exc):
+        global _PALLAS_SCOPE_DEPTH
+        _PALLAS_SCOPE_DEPTH -= 1
+        return False
+
+
+def pallas_scope_active() -> bool:
+    return _PALLAS_SCOPE_DEPTH > 0
+
+
 class Fp:
     """A prime field bound to one modulus; methods are jit-safe pure fns
     over uint32 arrays of shape (48, *batch) in Montgomery form."""
@@ -182,20 +210,24 @@ class Fp:
     # Batches at least this large route to the fused Pallas TPU kernel
     # (ops.pallas_field): one VMEM-resident program instead of the XLA
     # fori/dynamic-update-slice convolutions (33x standalone at 2^20).
-    # OPT-IN (SNARK_TPU_PALLAS=1): the kernel is validated standalone but
-    # faulted the TPU when auto-dispatched inside the composite MSM graph
-    # at d+1=2^12 (BENCH_r01) — keep the default on the XLA path until
-    # the kernel is proven inside full prover graphs on real hardware.
+    # Default policy: ON inside the staged MSM programs (pallas_scope —
+    # probes at the round-3 faulting shape show the kernel is SAFE there
+    # and 5.9x faster, tools/tpu_staged_probe), OFF inside monolithic
+    # composite graphs, where auto-dispatch faulted the TPU at d+1=2^12
+    # (BENCH_r01).  SNARK_TPU_PALLAS=1/0 forces either way.
     PALLAS_MIN_BATCH = 4096
 
     def _pallas_eligible(self, batch_shape) -> int:
         import math
         import os
 
-        if os.environ.get("SNARK_TPU_PALLAS", "0") != "1":
+        env = os.environ.get("SNARK_TPU_PALLAS")
+        if env == "0":
+            return 0
+        if env != "1" and not pallas_scope_active():
             return 0
         total = math.prod(batch_shape) if batch_shape else 1
-        if total < self.PALLAS_MIN_BATCH or total % 128:
+        if total < self.PALLAS_MIN_BATCH:
             return 0
         try:
             import jax
@@ -218,8 +250,32 @@ class Fp:
 
             A = jnp.broadcast_to(a, (self.L,) + batch).reshape(self.L, total)
             B = jnp.broadcast_to(b, (self.L,) + batch).reshape(self.L, total)
+            # pad the lane axis to the tile size (e.g. the 2^c - 1 bucket
+            # triangles are odd-width); <=0.5% waste at these batches
             tile = 256 if total % 256 == 0 else 128
-            out = mont_mul_pallas(self.spec, A, B, tile)
+            padded = ((total + tile - 1) // tile) * tile
+            if padded != total:
+                A = jnp.pad(A, [(0, 0), (0, padded - total)])
+                B = jnp.pad(B, [(0, 0), (0, padded - total)])
+            out = mont_mul_pallas(self.spec, A, B, tile)[:, :total]
+            return out.reshape((self.L,) + batch)
+        if len(batch) > 1:
+            # Flatten the batch to ONE axis so every REDC step (the
+            # mul_wide fori bodies, carry scans, cond_sub) lowers as a
+            # rank-2 loop nest.  The stacked-mul tower/group formulas
+            # otherwise feed rank-6 tensors into the limb kernels, whose
+            # deep loop nests send XLA:CPU's LLVM codegen superlinear
+            # (the G2 dryrun program compiled for >30 min on the 1-core
+            # driver host; rank-2 G1 equivalents take ~1 min).  mul_wide
+            # broadcasts both operands internally anyway, so the
+            # broadcast_to adds no work — values are bit-identical.
+            A = jnp.broadcast_to(a, (self.L,) + batch).reshape(self.L, -1)
+            B = jnp.broadcast_to(b, (self.L,) + batch).reshape(self.L, -1)
+            out = (
+                self._redc_mxu(lb.mul_wide(A, B))
+                if self._mxu_enabled()
+                else self._redc(lb.mul_wide(A, B))
+            )
             return out.reshape((self.L,) + batch)
         if self._mxu_enabled():
             return self._redc_mxu(lb.mul_wide(a, b))
@@ -312,8 +368,12 @@ class Fp:
     # ---- Montgomery conversions (device) --------------------------------
     def to_canonical(self, a):
         """Montgomery form -> canonical integer limbs (value mod p)."""
+        batch = a.shape[1:]
+        if len(batch) > 1:  # rank-2 lowering (see _mul_dispatch)
+            a = a.reshape(self.L, -1)
         one = jnp.zeros_like(a).at[0].set(1)
-        return self._redc(lb.mul_wide(a, one))
+        out = self._redc(lb.mul_wide(a, one))
+        return out.reshape((self.L,) + batch)
 
     def from_canonical(self, a):
         """Canonical integer limbs -> Montgomery form (mul by R^2)."""

@@ -103,12 +103,46 @@ class Curve:
         batch = like.shape[self.F.elem_ndim :]
         op_counts.record(f"{self.name}.{key}", math.prod(batch) if batch else 1)
 
+    def _flatten_pts(self, *pts):
+        """Collapse multi-axis point batches to ONE trailing axis for the
+        duration of a group-law evaluation: the limb kernels then lower
+        as rank-2/3 loop nests instead of rank-6 (deep nests send
+        XLA:CPU's LLVM codegen superlinear — the G2 dryrun program was
+        a >30 min compile before this).  Returns (flat_pts, batch) where
+        batch is () sentinel for 'already flat'."""
+        k = self.F.elem_ndim
+        batch = jnp.broadcast_shapes(*(t.shape[k:] for P in pts for t in P))
+        if len(batch) <= 1:
+            return pts, None
+        flat = tuple(
+            tuple(
+                jnp.broadcast_to(t, t.shape[:k] + batch).reshape(
+                    t.shape[:k] + (-1,)
+                )
+                for t in P
+            )
+            for P in pts
+        )
+        return flat, batch
+
+    def _unflatten_pts(self, P, batch):
+        if batch is None:
+            return P
+        k = self.F.elem_ndim
+        return tuple(t.reshape(t.shape[:k] + batch) for t in P)
+
     def double(self, P):
         """dbl-2007-bl over projective coords (mnt4753_g1.cpp:315-347),
         with independent multiplies stacked into batched stages (_mulsb).
         Identity doubles to identity via masking."""
         F = self.F
         self._count("dbl", P[0])
+        (P,), batch = self._flatten_pts(P)
+        out = self._double_flat(P)
+        return self._unflatten_pts(out, batch)
+
+    def _double_flat(self, P):
+        F = self.F
         X1, Y1, Z1 = P
         XX, ZZ, Y1Z1 = _mulsb(F, [X1, Z1, Y1], [X1, Z1, Z1])
         s = F.double(Y1Z1)
@@ -138,6 +172,12 @@ class Curve:
         (different projective representatives, same affine point)."""
         F = self.F
         self._count("add", P[0])
+        (P, Q), batch = self._flatten_pts(P, Q)
+        out = self._add_flat(P, Q)
+        return self._unflatten_pts(out, batch)
+
+    def _add_flat(self, P, Q):
+        F = self.F
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
         a = self._a_const(X1)

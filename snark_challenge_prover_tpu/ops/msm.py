@@ -51,42 +51,61 @@ def default_window_bits(n: int) -> int:
 
 
 # Full-width (753-bit) extension-field MSMs with window c=4 (W=189
-# windows) are hazardous on BOTH backends of this image: they
-# reproducibly crash the TPU runtime worker ("kernel fault";
-# tools/tpu_g2_probe.py) AND segfault the XLA:CPU compiler after ~1 h
-# (stack overflow in a compiler pass — it killed the round-2 gm17 test
-# run; /tmp/g2_repro.py).  c=8 (W=95) is clean on both.  Any window
-# split computes the identical group element, so every G2 path shares
-# this floor on every backend.  Override via SNARK_TPU_G2_WINDOW.
+# windows) reproducibly crash the TPU runtime worker ("kernel fault";
+# tools/tpu_g2_probe.py); c=8 (W=95) is clean.  Any window split
+# computes the identical group element, so every G2 path run on a TPU
+# backend shares this floor.  Override via SNARK_TPU_G2_WINDOW.
+#
+# The floor is TPU-ONLY (round 4): it used to cover XLA:CPU as well,
+# where the same shape once segfaulted the compiler after ~1 h — that
+# was root-caused to an 8 MB pthread-stack overflow in a recursive
+# compiler pass and is fixed by config.raise_stack_limit (2 GB) in
+# every entry point.  On CPU a large floor is actively harmful: the
+# bucket-triangle work is W * 2^c regardless of N, so the tiny-shape
+# multichip dryrun spent HOURS executing 95x255-bucket G2 triangles on
+# the driver's 1-core host (MULTICHIP_r02/r03 rc=124 root cause).
 G2_MIN_WINDOW = 8
 
 
 def g2_window_bits(n: int, requested: int | None = None) -> int:
-    """The single G2 window policy (guards the c<8 TPU kernel fault and
-    the XLA:CPU compiler segfault — see G2_MIN_WINDOW)."""
+    """The single G2 window policy (guards the c<8 TPU kernel fault —
+    see G2_MIN_WINDOW)."""
     import os
 
     env = os.environ.get("SNARK_TPU_G2_WINDOW")
     if env is not None:
         return int(env)
     base = requested if requested is not None else default_window_bits(n)
-    return max(base, G2_MIN_WINDOW)
+    try:
+        if jax.default_backend() == "tpu":
+            return max(base, G2_MIN_WINDOW)
+    except Exception:
+        pass
+    return base
 
 
 def window_digits(scalars, c: int, scalar_bits: int = SCALAR_BITS):
     """(48, *batch) canonical uint32 limbs -> (W, *batch) int32 digits,
-    least-significant window first."""
+    least-significant window first.
+
+    Fully vectorized over W (one gather + broadcast shifts): the graph
+    size is window-count-independent, where the previous per-window
+    Python loop unrolled W * ~5 ops — at c=2 (W=377) that unroll alone
+    dominated the XLA:CPU compile of the multichip dryrun programs."""
     W = (scalar_bits + c - 1) // c
     pad = jnp.zeros((2,) + scalars.shape[1:], scalars.dtype)
-    s = jnp.concatenate([scalars, pad], axis=0)
+    s = jnp.concatenate([scalars, pad], axis=0)  # (L+2, *batch)
+    bit = np.arange(W) * c
+    i0 = jnp.asarray(bit // 16, jnp.int32)
+    off = bit % 16  # host ints
+    bshape = (W,) + (1,) * (s.ndim - 1)
+    off_a = jnp.asarray(off, jnp.uint32).reshape(bshape)
+    lo = jnp.take(s, i0, axis=0)           # (W, *batch)
+    hi = jnp.take(s, i0 + 1, axis=0)
+    # off == 0: hi's bits land at >= 16 and are masked off (c <= 16)
+    val = (lo >> off_a) | (hi << (jnp.uint32(16) - off_a))
     mask = jnp.uint32((1 << c) - 1)
-    digs = []
-    for w in range(W):
-        bit = w * c
-        i0, off = bit // 16, bit % 16
-        val = (s[i0] >> jnp.uint32(off)) | (s[i0 + 1] << jnp.uint32(16 - off))
-        digs.append((val & mask).astype(jnp.int32))
-    return jnp.stack(digs)  # (W, *batch)
+    return (val & mask).astype(jnp.int32)  # (W, *batch)
 
 
 def _hillis_levels(n: int) -> int:
@@ -476,11 +495,17 @@ def msm_lane_cap() -> int:
     return int(os.environ.get("SNARK_TPU_MSM_LANES", str(1 << 16)))
 
 
-def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int):
+def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int,
+                    scan_impl: str = "hillis"):
     """jit: (acc_buckets, X, Y, Z points chunk, digit chunk) -> acc'.
     Everything of msm_multi's body UP TO the scatter, plus one EC add to
-    fold this chunk's bucket partials into the accumulator."""
-    key = ("bkt", id(curve), c, Gr, M, Nc)
+    fold this chunk's bucket partials into the accumulator.
+
+    scan_impl="tree" routes the segment totals through the work-efficient
+    plain scan + group-subtraction (_segment_totals_subtract, ~3N EC adds)
+    instead of the Hillis-Steele segmented scan (N log2 N adds) — at the
+    production Nc=1024-4096 chunk sizes that is 3-4x less EC work."""
+    key = ("bkt", id(curve), c, Gr, M, Nc, scan_impl)
     if key in _STAGE_CACHE:
         return _STAGE_CACHE[key]
     F = curve.F
@@ -488,6 +513,12 @@ def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int):
 
     def stage(acc, X, Y, Z, digs):
         # digs: (Gr, M, Nc); points: (..., M, Nc) broadcast over Gr
+        from .field import pallas_scope
+
+        with pallas_scope():
+            return _stage(acc, X, Y, Z, digs)
+
+    def _stage(acc, X, Y, Z, digs):
         extra = X.ndim - 2
         idx = jnp.argsort(digs, axis=-1, stable=True).astype(jnp.int32)
         keys = jnp.take_along_axis(digs, idx, axis=-1)
@@ -509,7 +540,14 @@ def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int):
             [jnp.ones((Gr, M, 1), bool), keys[..., 1:] != keys[..., :-1]],
             axis=-1,
         )
-        sx, sy, sz = _ec_segmented_scan(curve, (Xs, Ys, Zs), start)
+        if scan_impl == "tree":
+            sx, sy, sz = _segment_totals_subtract(
+                curve, (Xs, Ys, Zs), start, impl="tree"
+            )
+        else:
+            sx, sy, sz = _ec_segmented_scan(
+                curve, (Xs, Ys, Zs), start, impl=scan_impl
+            )
 
         is_end = jnp.concatenate(
             [keys[..., 1:] != keys[..., :-1], jnp.ones((Gr, M, 1), bool)],
@@ -547,6 +585,12 @@ def _triangle_program(curve: Curve, c: int, Gr: int, M: int,
     from ..utils import op_counts
 
     def stage(carry, bX, bY, bZ):
+        from .field import pallas_scope
+
+        with pallas_scope():
+            return _stage(carry, bX, bY, bZ)
+
+    def _stage(carry, bX, bY, bZ):
         run = _ec_scan(
             curve,
             (bX[..., 1:], bY[..., 1:], bZ[..., 1:]),
@@ -583,10 +627,27 @@ def _digits_program(c: int, scalar_bits: int):
     return fn
 
 
+def staged_scan_impl() -> str:
+    """Default segment-scan implementation for the staged MSM programs:
+    SNARK_TPU_MSM_SCAN if set, else work-efficient "tree" on TPU (the
+    Hillis-Steele fallback elsewhere keeps XLA:CPU compiles small)."""
+    import os
+
+    env = os.environ.get("SNARK_TPU_MSM_SCAN")
+    if env:
+        return env
+    try:
+        if jax.default_backend() == "tpu":
+            return "tree"
+    except Exception:
+        pass
+    return "hillis"
+
+
 def msm_multi_staged(curve: Curve, points, scalars_canonical,
                      c: int | None = None, window_group: int | None = None,
                      scalar_bits: int = SCALAR_BITS,
-                     scan_impl: str = "hillis"):
+                     scan_impl: str | None = None):
     """msm_multi computed as a host-orchestrated pipeline of small XLA
     programs (see block comment above) — same results, TPU-safe shapes.
 
@@ -594,6 +655,8 @@ def msm_multi_staged(curve: Curve, points, scalars_canonical,
     scalars_canonical: (48, M, N) canonical uint32 limb planes
     Returns a projective point batch of shape (M,).
     """
+    if scan_impl is None:
+        scan_impl = staged_scan_impl()
     F = curve.F
     X, Y, Z = points
     M, N = X.shape[-2], X.shape[-1]
@@ -627,7 +690,7 @@ def msm_multi_staged(curve: Curve, points, scalars_canonical,
         )
     digits = jnp.flip(digits, axis=0)  # MSB-first group order
 
-    bucket = _bucket_program(curve, c, Gr, M, Nc)
+    bucket = _bucket_program(curve, c, Gr, M, Nc, scan_impl)
     triangle = _triangle_program(curve, c, Gr, M, scan_impl)
 
     carry = curve.zero((M,))
@@ -647,7 +710,7 @@ def msm_multi_staged(curve: Curve, points, scalars_canonical,
 
 def msm_staged(curve: Curve, points, scalars_canonical, c: int | None = None,
                window_group: int | None = None,
-               scalar_bits: int = SCALAR_BITS, scan_impl: str = "hillis"):
+               scalar_bits: int = SCALAR_BITS, scan_impl: str | None = None):
     """Single staged MSM: points batch (N,), scalars (48, N)."""
     X, Y, Z = points
     pts = tuple(a[..., None, :] for a in (X, Y, Z))

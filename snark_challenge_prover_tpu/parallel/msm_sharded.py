@@ -22,27 +22,45 @@ from .mesh import DATA_AXIS, INNER_AXIS, OUTER_AXIS
 
 
 def _tree_combine(curve, pts, n: int):
-    """Fold a trailing length-n axis of projective points with EC adds
-    (log2(n) unrolled levels; n = device count, so this is tiny).
+    """Fold a trailing length-n axis of projective points with EC adds.
+
+    Runs as a fori_loop masked in-place halving so the graph holds ONE
+    traced EC add instead of log2(n) unrolled levels — the sharded MSM
+    programs must compile on the driver's 1-core XLA:CPU host, where
+    every extra traced group op costs ~10 s of compile (ops.msm._ec_reduce
+    uses the same structure for the same reason).  n = device count, so
+    runtime is log2(n) tiny masked passes.
 
     The device axis must be the LAST axis so the limb/component axes stay
     where curve.add expects them (limbs leading): each leaf has shape
     (48[, deg], M, n)."""
+    import math
+
     F = curve.F
     X, Y, Z = pts
-    while n > 1:
-        half = (n + 1) // 2
-        lo = tuple(t[..., :half] for t in (X, Y, Z))
-        hi = tuple(t[..., half:] for t in (X, Y, Z))
-        if hi[0].shape[-1] < half:  # odd: pad with the identity (0:1:0)
-            pad_batch = X.shape[F.elem_ndim:-1] + (half - hi[0].shape[-1],)
-            hi = (
-                jnp.concatenate([hi[0], F.zeros(pad_batch)], axis=-1),
-                jnp.concatenate([hi[1], F.ones(pad_batch)], axis=-1),
-                jnp.concatenate([hi[2], F.zeros(pad_batch)], axis=-1),
-            )
-        X, Y, Z = curve.add(lo, hi)
-        n = half
+    if n == 1:
+        return X[..., 0], Y[..., 0], Z[..., 0]
+    levels = math.ceil(math.log2(n))
+    npad = 1 << levels
+    if npad != n:  # pad with the identity (0:1:0)
+        pad_batch = X.shape[F.elem_ndim:-1] + (npad - n,)
+        X = jnp.concatenate([X, F.zeros(pad_batch)], axis=-1)
+        Y = jnp.concatenate([Y, F.ones(pad_batch)], axis=-1)
+        Z = jnp.concatenate([Z, F.zeros(pad_batch)], axis=-1)
+    idx = jnp.arange(npad)
+
+    def level(t, state):
+        d = jnp.int32(npad) >> (t + 1)
+        shifted = tuple(jnp.roll(s, -d, axis=-1) for s in state)
+        comb = curve.add(state, shifted)
+        keep = idx < d
+        out = []
+        for c_, s_ in zip(comb, state):
+            k = keep.reshape((1,) * (c_.ndim - 1) + (npad,))
+            out.append(jnp.where(k, c_, s_))
+        return tuple(out)
+
+    X, Y, Z = jax.lax.fori_loop(0, levels, level, (X, Y, Z))
     return X[..., 0], Y[..., 0], Z[..., 0]
 
 

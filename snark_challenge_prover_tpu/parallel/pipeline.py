@@ -121,13 +121,13 @@ _STAGED_JIT_CACHE: dict = {}
 
 
 def _staged_programs(mesh: Mesh, model, d: int, c, scan_impl: str,
-                     sharded_fft: bool):
+                     sharded_fft: bool, scalar_bits: int):
     """The four jitted stage programs, memoized so repeated
     prove_step_sharded_staged calls (bench loops) don't retrace."""
     import jax
 
     key = (tuple(id(dev) for dev in mesh.devices.flat), mesh.axis_names,
-           model.name, d, c, scan_impl, sharded_fft)
+           model.name, d, c, scan_impl, sharded_fft, scalar_bits)
     if key in _STAGED_JIT_CACHE:
         return _STAGED_JIT_CACHE[key]
 
@@ -156,6 +156,7 @@ def _staged_programs(mesh: Mesh, model, d: int, c, scan_impl: str,
         pts4 = tuple(_pad_to(pts4, D))
         (scal4,) = _pad_to([scal4], D)
         return msm_multi_sharded(mesh, G1, pts4, scal4, c=c,
+                                 scalar_bits=scalar_bits,
                                  scan_impl=scan_impl)
 
     @jax.jit
@@ -167,6 +168,7 @@ def _staged_programs(mesh: Mesh, model, d: int, c, scan_impl: str,
         (scal2,) = _pad_to([scal2], D)
         c2 = msm_mod.g2_window_bits(scal2.shape[-1] // D, c)
         return msm_multi_sharded(mesh, G2, pts2, scal2, c=c2,
+                                 scalar_bits=scalar_bits,
                                  scan_impl=scan_impl)
 
     @jax.jit
@@ -174,7 +176,8 @@ def _staged_programs(mesh: Mesh, model, d: int, c, scan_impl: str,
         Ht = tuple(t[..., 2:3] for t in g1_res)
         Lt = tuple(t[..., 3:4] for t in g1_res)
         Bt1 = tuple(t[..., 1:2] for t in g1_res)
-        rBt1 = G1.scalar_mul_limbs(Bt1, r_can)
+        nb = (scalar_bits + 15) // 16 * 16
+        rBt1 = G1.scalar_mul_limbs(Bt1, r_can, num_bits=nb)
         return G1.add(G1.add(Ht, Lt), rBt1)
 
     progs = (h_stage, g1_stage, g2_stage, c_stage)
@@ -186,7 +189,8 @@ def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
                               d: int, m: int | None = None,
                               c: int | None = None,
                               scan_impl: str = "hillis",
-                              sharded_fft: bool = False):
+                              sharded_fft: bool = False,
+                              scalar_bits: int = msm_mod.SCALAR_BITS):
     """The same distributed prove step as prove_step_sharded, compiled
     as four smaller programs instead of one monolith — the partitioning
     the production single-chip prover uses (proof_systems.groth16
@@ -201,7 +205,7 @@ def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
     Same math, same shardings, same collectives as the monolith.
     """
     h_stage, g1_stage, g2_stage, c_stage = _staged_programs(
-        mesh, model, d, c, scan_impl, sharded_fft
+        mesh, model, d, c, scan_impl, sharded_fft, scalar_bits
     )
 
     w_can, h_can, r_can = h_stage(

@@ -31,6 +31,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Compile-speed flags (tests are correctness checks; generated-code
+# quality is irrelevant): 4x faster XLA:CPU compiles, measured on the
+# dryrun stage programs.  MUST stay in sync with
+# __graft_entry__._force_cpu_devices so cache entries are shared.
+if "xla_cpu_use_fusion_emitters" not in flags:
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_use_fusion_emitters=false"
+        " --xla_llvm_disable_expensive_passes=true"
+    )
 
 import jax
 

@@ -143,11 +143,14 @@ def test_msm_multi_matches_singles(rng):
     assert got == wants
 
 
-def test_msm_staged_matches_oracle(rng, monkeypatch):
+@pytest.mark.parametrize("impl", ["hillis", "tree"])
+def test_msm_staged_matches_oracle(rng, monkeypatch, impl):
     """msm_multi_staged (the TPU execution path: host loop of bucket +
     triangle programs split at the scatter boundary — PLAN.md round-3
     root cause) == host oracle, with chunking forced so the N-chunk
-    bucket-accumulation fold is exercised."""
+    bucket-accumulation fold is exercised.  "tree" is the TPU default
+    (work-efficient segment totals via plain-scan + group subtraction);
+    "hillis" the CPU default."""
     monkeypatch.setenv("SNARK_TPU_MSM_LANES", "1024")  # force n_chunks > 1
     model = mnt4753.get()
     ocur = mnt4753_oracle()
@@ -171,6 +174,7 @@ def test_msm_staged_matches_oracle(rng, monkeypatch):
         wants.append(want)
 
     pts_m, scal_m = msm_mod.pad_and_stack(model.Fr, all_pts, all_scal)
-    out = msm_mod.msm_multi_staged(G, pts_m, scal_m, c=5, scalar_bits=64)
+    out = msm_mod.msm_multi_staged(G, pts_m, scal_m, c=5, scalar_bits=64,
+                                   scan_impl=impl)
     got = _unpack_pts(G, spec, out)
     assert got == wants
