@@ -12,12 +12,22 @@ header for the file:line map) and is run on the very same fixture
 files; its proof bytes must match ours (large-size byte-exactness
 check, the same sha256 protocol as README.md:46-58).
 
+Timeout-proofing (round-5 restructure; BENCH_r04 rc=124 post-mortem):
+the headline JSON line is emitted IMMEDIATELY after the steady-state
+measurement.  The CPU comparator runs afterwards under a bounded
+timeout; if it completes, a superseding JSON line with the measured
+vs_baseline is printed (drivers take the last parseable line).  A
+budget clock skips the second prove when the first (compile-including)
+run already consumed most of it, so a stray cold compile degrades the
+number instead of erasing it.
+
 Environment knobs:
   BENCH_LOG2_D (default 12)  -- domain size exponent (d+1 = 2^k)
   BENCH_CURVE  (default MNT4753)
   BENCH_CACHE  (default /tmp/snark_bench_cache) -- fixture/baseline cache
   BENCH_CPU    (default 1; 0 skips the CPU comparator run)
-  BENCH_CPU_TIMEOUT (default 7200 seconds)
+  BENCH_CPU_TIMEOUT (default 7200 seconds, clamped to remaining budget)
+  BENCH_BUDGET_S (default 2700) -- soft wall-clock budget for the whole run
 """
 
 import hashlib
@@ -101,24 +111,28 @@ def _gen_fixture_files(curve: str, log2_d: int, pdir: Path):
     return params_path, input_path, time.time() - t0
 
 
-def _cpu_baseline(curve, params_path, input_path, cache: Path, log2_d: int):
+def _cpu_baseline(curve, params_path, input_path, cache: Path, log2_d: int,
+                  timeout: float | None = None):
     """Run the measured CPU comparator once per fixture; cache the result."""
     meta = cache / f"{curve}-{log2_d}.cpu.json"
     out = cache / f"{curve}-{log2_d}.cpu.output"
-    if meta.exists():
+    if meta.exists() and out.exists():
         return json.loads(meta.read_text()), out
     exe = REPO / "native" / "build" / "cpu_baseline"
     if not exe.exists():
         subprocess.run(["make", "-C", str(REPO / "native"), "cpu"], check=False)
     if not exe.exists() or os.environ.get("BENCH_CPU", "1") == "0":
         return None, None
-    timeout = int(os.environ.get("BENCH_CPU_TIMEOUT", "7200"))
+    cap = int(os.environ.get("BENCH_CPU_TIMEOUT", "7200"))
+    if timeout is not None:
+        cap = min(cap, max(30, int(timeout)))
     try:
         res = subprocess.run(
             [str(exe), curve, "compute", str(params_path), str(input_path), str(out)],
-            capture_output=True, text=True, timeout=timeout,
+            capture_output=True, text=True, timeout=cap,
         )
     except subprocess.TimeoutExpired:
+        sys.stderr.write(f"# cpu comparator exceeded {cap}s, skipped\n")
         return None, None
     if res.returncode != 0:
         sys.stderr.write(res.stderr[-500:] + "\n")
@@ -186,15 +200,25 @@ def main():
     params = ser.read_params(str(params_path), deg)
     inp = ser.read_input(str(input_path), params.d, params.m)
 
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    t_start = time.time()
+
     prover = ChallengeProver(model)
     # compile + first run
     t0 = time.time()
     proof = prover.prove_arrays(params, inp)
     first_s = time.time() - t0
-    # steady state
-    t0 = time.time()
-    proof = prover.prove_arrays(params, inp)
-    steady_s = time.time() - t0
+    # steady state -- skipped if the first (compile-including) run already
+    # ate most of the budget, so SOME number always gets out
+    steady_is_first = (time.time() - t_start) > 0.6 * budget
+    if steady_is_first:
+        steady_s = first_s
+        sys.stderr.write("# budget: steady-state rerun skipped, value "
+                         "includes compile time\n")
+    else:
+        t0 = time.time()
+        proof = prover.prove_arrays(params, inp)
+        steady_s = time.time() - t0
 
     # serialize our proof for the byte-exactness check
     class _Sink:
@@ -205,34 +229,40 @@ def main():
     our_bytes = ser.write_proof(sink, *proof, g2_deg=deg)
     our_sha = hashlib.sha256(our_bytes).hexdigest()
 
-    cpu, cpu_out = _cpu_baseline(curve, params_path, input_path, cache, log2_d)
+    suffix = "" if platform == "tpu" else "_cpufallback"
+    metric = f"groth16_{curve.lower()}_proof_latency_2e{log2_d}{suffix}"
+
+    def emit(vs):
+        print(json.dumps({"metric": metric, "value": round(steady_s, 4),
+                          "unit": "s", "vs_baseline": vs}), flush=True)
+
+    # headline line FIRST: a comparator overrun can no longer erase the
+    # measurement.  vs_baseline from the comparator cache if present.
+    meta = cache / f"{curve}-{log2_d}.cpu.json"
+    cached_vs = None
+    if meta.exists():
+        try:
+            cached_vs = round(json.loads(meta.read_text())["compute_s"] / steady_s, 3)
+        except Exception:
+            pass
+    emit(cached_vs if cached_vs is not None else 0.0)
+    print(f"# fixture_gen={gen_s:.1f}s first(incl compile)={first_s:.1f}s "
+          f"steady={steady_s:.2f}s sha256={our_sha[:16]}", file=sys.stderr)
+
+    remaining = budget - (time.time() - t_start)
+    cpu, cpu_out = _cpu_baseline(curve, params_path, input_path, cache, log2_d,
+                                 timeout=remaining)
     byte_exact = None
-    vs_baseline = 0.0
     cpu_s = None
     if cpu is not None:
         cpu_s = cpu["compute_s"]
-        vs_baseline = round(cpu_s / steady_s, 3)
         if cpu_out and cpu_out.exists():
             byte_exact = hashlib.sha256(cpu_out.read_bytes()).hexdigest() == our_sha
-
-    suffix = "" if platform == "tpu" else "_cpufallback"
+        # superseding line with the measured ratio (drivers parse the last)
+        emit(round(cpu_s / steady_s, 3))
     print(
-        json.dumps(
-            {
-                "metric": (
-                    f"groth16_{curve.lower()}_proof_latency_2e{log2_d}{suffix}"
-                ),
-                "value": round(steady_s, 4),
-                "unit": "s",
-                "vs_baseline": vs_baseline,
-            }
-        )
-    )
-    print(
-        f"# fixture_gen={gen_s:.1f}s first(incl compile)={first_s:.1f}s "
-        f"steady={steady_s:.2f}s cpu_measured="
-        f"{('%.2f' % cpu_s) if cpu_s is not None else 'n/a'}s "
-        f"byte_exact_vs_cpu={byte_exact} sha256={our_sha[:16]}",
+        f"# cpu_measured={('%.2f' % cpu_s) if cpu_s is not None else 'n/a'}s "
+        f"byte_exact_vs_cpu={byte_exact}",
         file=sys.stderr,
     )
     if byte_exact is False:

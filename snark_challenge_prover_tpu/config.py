@@ -56,6 +56,33 @@ def raise_stack_limit(size: int = 2 << 30) -> None:
         pass
 
 
+def apply_cpu_compile_flags() -> None:
+    """When the process explicitly targets XLA:CPU (JAX_PLATFORMS=cpu),
+    set the SAME compile-speed DebugOptions tests/conftest.py uses
+    (~2-4x faster XLA:CPU compiles at unchanged runtime).  These flags
+    enter the persistent-cache key, so aligning them is also what lets
+    CLI runs REUSE the test-suite-warmed executables — round-5's CPU
+    verify drive spent 45+ min recompiling programs the cache already
+    held under the tests' flag set.  TPU contexts are left untouched
+    (different flags would orphan the TPU cache entries)."""
+    p = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" not in p or "axon" in p:
+        return
+    flags = os.environ.get("XLA_FLAGS", "")
+    # the FULL flag string is hashed into the cache key, so this must
+    # assemble the exact set tests/conftest.py uses (device count
+    # included — 8 virtual CPU devices are harmless for single-device
+    # programs, which place on device 0)
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_use_fusion_emitters" not in flags:
+        flags += (
+            " --xla_cpu_use_fusion_emitters=false"
+            " --xla_llvm_disable_expensive_passes=true"
+        )
+    os.environ["XLA_FLAGS"] = flags
+
+
 def setup_compilation_cache(path: str | None = None) -> None:
     """Enable the persistent XLA compilation cache (tests/.jax_cache by
     default, override with SNARK_TPU_CACHE_DIR; SNARK_TPU_CACHE=0
@@ -64,6 +91,7 @@ def setup_compilation_cache(path: str | None = None) -> None:
     the stack rlimit (see raise_stack_limit) — both protections matter
     for any process that may compile G2-sized graphs."""
     raise_stack_limit()
+    apply_cpu_compile_flags()
     if os.environ.get("SNARK_TPU_CACHE", "1") == "0":
         return
     import pathlib

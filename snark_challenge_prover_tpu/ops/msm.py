@@ -76,12 +76,13 @@ def g2_window_bits(n: int, requested: int | None = None) -> int:
     if env is not None:
         return int(env)
     base = requested if requested is not None else default_window_bits(n)
+    # Fail CLOSED: this guards a known TPU runtime fault, so the floor
+    # applies unless the backend is affirmatively known to be non-TPU.
     try:
-        if jax.default_backend() == "tpu":
-            return max(base, G2_MIN_WINDOW)
+        is_tpu = jax.default_backend() == "tpu"
     except Exception:
-        pass
-    return base
+        is_tpu = True
+    return max(base, G2_MIN_WINDOW) if is_tpu else base
 
 
 def window_digits(scalars, c: int, scalar_bits: int = SCALAR_BITS):
@@ -326,13 +327,15 @@ def _segment_totals_subtract(curve: Curve, pts, start, impl: str = "tree"):
 
 def msm_multi(curve: Curve, points, scalars_canonical, c: int | None = None,
               window_group: int | None = None, scalar_bits: int = SCALAR_BITS,
-              scan_impl: str = "hillis"):
+              scan_impl: str | None = "hillis"):
     """M independent MSMs over the same curve in one fused program.
 
     points: projective triple of field arrays with trailing batch (M, N)
     scalars_canonical: (48, M, N) canonical uint32 limb planes
     Returns a projective point batch of shape (M,).
     """
+    if scan_impl is None:
+        scan_impl = staged_scan_impl()
     F = curve.F
     X, Y, Z = points
     M, N = X.shape[-2], X.shape[-1]
@@ -488,11 +491,13 @@ _STAGE_CACHE: dict = {}
 
 def msm_lane_cap() -> int:
     """Max flattened (Gr*M*Nc) lanes per bucket-accumulation dispatch.
-    2^16 is the empirically clean threshold on the v5e runtime (PLAN.md);
-    override with SNARK_TPU_MSM_LANES for probes."""
+    2^16 was the monolithic-program fault threshold; the round-5 staged
+    + Pallas pipeline probes clean and oracle-exact at 2^18
+    (tools/tpu_staged_probe N=4099 Gr=84), and bigger dispatches cut
+    host-loop overhead.  Override with SNARK_TPU_MSM_LANES."""
     import os
 
-    return int(os.environ.get("SNARK_TPU_MSM_LANES", str(1 << 16)))
+    return int(os.environ.get("SNARK_TPU_MSM_LANES", str(1 << 18)))
 
 
 def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int,
@@ -500,6 +505,13 @@ def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int,
     """jit: (acc_buckets, X, Y, Z points chunk, digit chunk) -> acc'.
     Everything of msm_multi's body UP TO the scatter, plus one EC add to
     fold this chunk's bucket partials into the accumulator.
+
+    The (Gr, M) axes merge into ONE row axis R = Gr*M right after the
+    gather: a (…, 4, Nc) minor-axis pair leaves the 8-sublane tiles
+    half-empty and forces a relayout on every op, which round-5 chip
+    microbenchmarks showed costing more than the EC kernels themselves;
+    (…, R, Nc) with Nc a 128-multiple keeps every op tile-aligned.
+    acc is carried as (48, R, B).
 
     scan_impl="tree" routes the segment totals through the work-efficient
     plain scan + group-subtraction (_segment_totals_subtract, ~3N EC adds)
@@ -510,6 +522,7 @@ def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int,
         return _STAGE_CACHE[key]
     F = curve.F
     B = 1 << c
+    R = Gr * M
 
     def stage(acc, X, Y, Z, digs):
         # digs: (Gr, M, Nc); points: (..., M, Nc) broadcast over Gr
@@ -520,24 +533,29 @@ def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int,
 
     def _stage(acc, X, Y, Z, digs):
         extra = X.ndim - 2
-        idx = jnp.argsort(digs, axis=-1, stable=True).astype(jnp.int32)
-        keys = jnp.take_along_axis(digs, idx, axis=-1)
+        k = F.elem_ndim
+        digs_m = digs.reshape(R, Nc)
+        idx = jnp.argsort(digs_m, axis=-1, stable=True).astype(jnp.int32)
+        keys = jnp.take_along_axis(digs_m, idx, axis=-1)  # (R, Nc)
+        idx_g = idx.reshape(Gr, M, Nc)
 
         def gather(arr):
             def take_m(a_m, i_m):
                 return jnp.take(a_m, i_m, axis=-1)
 
-            return jax.vmap(take_m, in_axes=(-2, 1), out_axes=-2)(arr, idx)
+            g = jax.vmap(take_m, in_axes=(-2, 1), out_axes=-2)(arr, idx_g)
+            # (..., Gr, M, Nc) -> merged (..., R, Nc)
+            return g.reshape(g.shape[:-3] + (R, Nc))
 
         Xs, Ys, Zs = gather(X), gather(Y), gather(Z)
         zero_d = keys == 0
-        batch = (Gr, M, Nc)
+        batch = (R, Nc)
         Xs = F.select(zero_d, F.zeros(batch), Xs)
         Ys = F.select(zero_d, F.ones(batch), Ys)
         Zs = F.select(zero_d, F.zeros(batch), Zs)
 
         start = jnp.concatenate(
-            [jnp.ones((Gr, M, 1), bool), keys[..., 1:] != keys[..., :-1]],
+            [jnp.ones((R, 1), bool), keys[..., 1:] != keys[..., :-1]],
             axis=-1,
         )
         if scan_impl == "tree":
@@ -550,24 +568,21 @@ def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int,
             )
 
         is_end = jnp.concatenate(
-            [keys[..., 1:] != keys[..., :-1], jnp.ones((Gr, M, 1), bool)],
+            [keys[..., 1:] != keys[..., :-1], jnp.ones((R, 1), bool)],
             axis=-1,
         )
         tgt = jnp.where(is_end, keys, B)  # non-ends -> slot B (dropped)
-        rows = (
-            jnp.arange(Gr)[:, None, None] * (M * (B + 1))
-            + jnp.arange(M)[None, :, None] * (B + 1)
-        )
+        rows = jnp.arange(R)[:, None] * (B + 1)
         tgt_flat = (rows + tgt).reshape(-1)
 
         def scatter(vals, init):
-            flat = vals.reshape(vals.shape[:extra] + (-1,))
+            flat = vals.reshape(vals.shape[:-2] + (-1,))
             out = init.at[..., tgt_flat].set(flat)
-            return out.reshape(init.shape[:extra] + (Gr, M, B + 1))[..., :B]
+            return out.reshape(init.shape[:-1] + (R, B + 1))[..., :B]
 
-        bX = scatter(sx, F.zeros((Gr * M * (B + 1),)))
-        bY = scatter(sy, F.ones((Gr * M * (B + 1),)))
-        bZ = scatter(sz, F.zeros((Gr * M * (B + 1),)))
+        bX = scatter(sx, F.zeros((R * (B + 1),)))
+        bY = scatter(sy, F.ones((R * (B + 1),)))
+        bZ = scatter(sz, F.zeros((R * (B + 1),)))
         return curve.add(acc, (bX, bY, bZ))
 
     fn = jax.jit(stage)
@@ -591,6 +606,9 @@ def _triangle_program(curve: Curve, c: int, Gr: int, M: int,
             return _stage(carry, bX, bY, bZ)
 
     def _stage(carry, bX, bY, bZ):
+        # buckets arrive merged as (..., R=Gr*M, B) — tile-aligned (see
+        # _bucket_program); the Horner fold unmerges to (Gr, M) after
+        # the reduction
         run = _ec_scan(
             curve,
             (bX[..., 1:], bY[..., 1:], bZ[..., 1:]),
@@ -598,7 +616,8 @@ def _triangle_program(curve: Curve, c: int, Gr: int, M: int,
             reverse=True,
             impl=scan_impl,
         )
-        S = _ec_reduce(curve, run)  # (..., Gr, M)
+        S = _ec_reduce(curve, run)  # (..., R)
+        S = tuple(t.reshape(t.shape[:-1] + (Gr, M)) for t in S)
 
         def dbl(i, P):
             return curve.double(P)
@@ -669,9 +688,12 @@ def msm_multi_staged(curve: Curve, points, scalars_canonical,
     if window_group is None:
         # triangle working set Gr*M*B bucket slots <= cap, and the
         # bucket program's Gr*M*Nc lanes <= cap with a useful Nc
-        window_group = max(1, min(W, cap // max(1, M * B), 16))
+        window_group = max(1, min(W, cap // max(1, M * B)))
     Gr = window_group
-    Nc = max(128, cap // max(1, Gr * M))
+    # chunk length: lane budget per dispatch, 128-aligned (odd minor
+    # dims force XLA relayouts on every op), never far beyond N itself
+    Nc = max(128, cap // max(1, Gr * M) // 128 * 128)
+    Nc = min(Nc, max(128, (N + 127) // 128 * 128))
     n_chunks = (N + Nc - 1) // Nc
     Np = n_chunks * Nc
     if Np != N:
@@ -694,12 +716,13 @@ def msm_multi_staged(curve: Curve, points, scalars_canonical,
     triangle = _triangle_program(curve, c, Gr, M, scan_impl)
 
     carry = curve.zero((M,))
+    R = Gr * M
     for g in range(W_pad // Gr):
         dg = digits[g * Gr : (g + 1) * Gr]  # (Gr, M, Np)
         acc = (
-            F.zeros((Gr, M, B)),
-            F.ones((Gr, M, B)),
-            F.zeros((Gr, M, B)),
+            F.zeros((R, B)),
+            F.ones((R, B)),
+            F.zeros((R, B)),
         )
         for k in range(n_chunks):
             sl = slice(k * Nc, (k + 1) * Nc)

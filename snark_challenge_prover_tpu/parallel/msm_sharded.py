@@ -60,13 +60,16 @@ def _tree_combine(curve, pts, n: int):
             out.append(jnp.where(k, c_, s_))
         return tuple(out)
 
-    X, Y, Z = jax.lax.fori_loop(0, levels, level, (X, Y, Z))
+    from ..utils import op_counts
+
+    with op_counts.loop_scope(levels):
+        X, Y, Z = jax.lax.fori_loop(0, levels, level, (X, Y, Z))
     return X[..., 0], Y[..., 0], Z[..., 0]
 
 
 def msm_multi_sharded(mesh: Mesh, curve, points, scalars_canonical,
                       c: int | None = None, scalar_bits: int = msm_mod.SCALAR_BITS,
-                      scan_impl: str = "hillis"):
+                      scan_impl: str | None = None):
     """Like ops.msm.msm_multi but sharded over mesh's data axis along N.
 
     points: (X, Y, Z) with trailing batch (M, N); N must divide evenly by

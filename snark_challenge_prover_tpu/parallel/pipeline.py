@@ -188,7 +188,7 @@ def _staged_programs(mesh: Mesh, model, d: int, c, scan_impl: str,
 def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
                               d: int, m: int | None = None,
                               c: int | None = None,
-                              scan_impl: str = "hillis",
+                              scan_impl: str | None = None,
                               sharded_fft: bool = False,
                               scalar_bits: int = msm_mod.SCALAR_BITS):
     """The same distributed prove step as prove_step_sharded, compiled
@@ -204,6 +204,10 @@ def prove_step_sharded_staged(mesh: Mesh, model, params_dev, input_dev,
     staged programs compile in minutes each and cache independently.
     Same math, same shardings, same collectives as the monolith.
     """
+    if scan_impl is None:
+        # inherit the staged-MSM default (work-efficient "tree" on TPU,
+        # small-graph "hillis" on XLA:CPU) instead of pinning hillis
+        scan_impl = msm_mod.staged_scan_impl()
     h_stage, g1_stage, g2_stage, c_stage = _staged_programs(
         mesh, model, d, c, scan_impl, sharded_fft, scalar_bits
     )

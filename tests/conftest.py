@@ -18,13 +18,15 @@ import os
 from pathlib import Path
 
 # 8 MB pthread stacks overflow in the XLA:CPU compiler on G2-sized
-# graphs (config.raise_stack_limit docstring); raise before jax import
-import resource
+# graphs; use the SAME proven 2 GB limit as every entry point
+# (config.raise_stack_limit — 256 MB was not enough for the composite
+# sharded prove-step program)
+import sys
 
-try:
-    resource.setrlimit(resource.RLIMIT_STACK, (256 << 20, -1))
-except (ValueError, OSError):
-    pass
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from snark_challenge_prover_tpu.config import raise_stack_limit
+
+raise_stack_limit()
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
