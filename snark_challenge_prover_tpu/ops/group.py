@@ -134,12 +134,28 @@ class Curve:
     def double(self, P):
         """dbl-2007-bl over projective coords (mnt4753_g1.cpp:315-347),
         with independent multiplies stacked into batched stages (_mulsb).
-        Identity doubles to identity via masking."""
+        Identity doubles to identity via masking.
+
+        Inside Pallas-safe regions on TPU the whole formula runs as ONE
+        fused VMEM kernel (ops.pallas_group) — bit-identical outputs."""
         F = self.F
         self._count("dbl", P[0])
         (P,), batch = self._flatten_pts(P)
-        out = self._double_flat(P)
+        out = self._pallas_or(P, None)
+        if out is None:
+            out = self._double_flat(P)
         return self._unflatten_pts(out, batch)
+
+    def _pallas_or(self, P, Q):
+        """Route to the fused EC kernel when eligible; None otherwise."""
+        from .pallas_group import ec_op_pallas, ec_pallas_eligible
+
+        k = self.F.elem_ndim
+        pts = (P,) if Q is None else (P, Q)
+        bshape = jnp.broadcast_shapes(*(t.shape[k:] for T in pts for t in T))
+        if not ec_pallas_eligible(self, bshape):
+            return None
+        return ec_op_pallas(self, "dbl" if Q is None else "add", *pts)
 
     def _double_flat(self, P):
         F = self.F
@@ -173,7 +189,9 @@ class Curve:
         F = self.F
         self._count("add", P[0])
         (P, Q), batch = self._flatten_pts(P, Q)
-        out = self._add_flat(P, Q)
+        out = self._pallas_or(P, Q)
+        if out is None:
+            out = self._add_flat(P, Q)
         return self._unflatten_pts(out, batch)
 
     def _add_flat(self, P, Q):

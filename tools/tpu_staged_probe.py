@@ -5,7 +5,8 @@ monolithic fused MSM (N=4099, M=4, c=9 — BENCH_r01..r03), health-checks
 the worker with a post-run fetch, and compares every result against the
 host exact-int oracle.
 
-Usage: python -m tools.tpu_staged_probe [N] [M] [c]
+Usage: python -m tools.tpu_staged_probe [N] [M] [c] [window_group]
+(SNARK_TPU_MSM_LANES tunes the per-dispatch lane cap.)
 """
 import json
 import sys
@@ -14,7 +15,10 @@ import time
 import numpy as np
 
 
-def main(N=4099, M=4, c=9):
+def main(N=4099, M=4, c=9, window_group=None):
+    from snark_challenge_prover_tpu.config import setup_compilation_cache
+
+    setup_compilation_cache()
     import jax
     import jax.numpy as jnp
 
@@ -51,14 +55,16 @@ def main(N=4099, M=4, c=9):
     curve = model.G1
     pp = curve.from_affine(Xs, Ys)
     t0 = time.time()
-    out = msm_mod.msm_multi_staged(curve, pp, S, c=c)
+    out = msm_mod.msm_multi_staged(curve, pp, S, c=c,
+                                   window_group=window_group)
     out = jax.block_until_ready(out)
     first_s = time.time() - t0
     # health canary: block_until_ready passes on a poisoned worker
     canary = np.asarray(jax.block_until_ready(jnp.arange(8) + 1))
     assert int(canary[-1]) == 8
     t0 = time.time()
-    out2 = msm_mod.msm_multi_staged(curve, pp, S, c=c)
+    out2 = msm_mod.msm_multi_staged(curve, pp, S, c=c,
+                                    window_group=window_group)
     out2 = jax.block_until_ready(out2)
     steady_s = time.time() - t0
 
@@ -97,4 +103,5 @@ def main(N=4099, M=4, c=9):
 if __name__ == "__main__":
     a = sys.argv[1:]
     main(int(a[0]) if a else 4099, int(a[1]) if len(a) > 1 else 4,
-         int(a[2]) if len(a) > 2 else 9)
+         int(a[2]) if len(a) > 2 else 9,
+         int(a[3]) if len(a) > 3 else None)
