@@ -446,6 +446,12 @@ typedef std::vector<LinTerm> TermVector;
 typedef std::vector<LinComb> LcVector;
 typedef std::vector<long> LongVector;
 
+// opaque byte-blob handle for serialized keys/proofs (see the
+// keypair/proof string entry points at the end of DEFINE_CAML_API)
+struct KeyBlob {
+  std::string data;
+};
+
 #define DEFINE_CAML_API(PFX, CTX, R_LIMBS, Q_LIMBS)                            \
   extern "C" {                                                                 \
   void PFX##_init_public_params() { ctx_init(CTX, R_LIMBS, Q_LIMBS); }         \
@@ -907,6 +913,36 @@ typedef std::vector<long> LongVector;
   int PFX##_string_length(std::string* s) { return (int)s->size(); }           \
   const char* PFX##_string_data(std::string* s) { return s->data(); }          \
   void PFX##_string_delete(std::string* s) { delete s; }                       \
+  std::string* PFX##_string_of_bytes(const char* p, int len) {                 \
+    return new std::string(p, (size_t)len);                                    \
+  }                                                                            \
+  /* ---- keypair/proof string serialization (caml_mnt4753.cpp:644-693)        \
+     The pk/vk/proof handles are opaque byte blobs in libsnark's                \
+     iostream layout (io/caml_serialization.py encodes/decodes them;           \
+     the device prover owns the actual key material).  to_string /             \
+     of_string round the same ABI shape as the reference. ---- */              \
+  KeyBlob* PFX##_proving_key_of_string(std::string* s) {                       \
+    return new KeyBlob{*s};                                                    \
+  }                                                                            \
+  std::string* PFX##_proving_key_to_string(KeyBlob* k) {                       \
+    return new std::string(k->data);                                           \
+  }                                                                            \
+  void PFX##_proving_key_delete(KeyBlob* k) { delete k; }                      \
+  KeyBlob* PFX##_verification_key_of_string(std::string* s) {                  \
+    return new KeyBlob{*s};                                                    \
+  }                                                                            \
+  std::string* PFX##_verification_key_to_string(KeyBlob* k) {                  \
+    return new std::string(k->data);                                           \
+  }                                                                            \
+  void PFX##_verification_key_delete(KeyBlob* k) { delete k; }                 \
+  int PFX##_verification_key_size_in_bits(KeyBlob* k) {                        \
+    return (int)(k->data.size() * 8);                                          \
+  }                                                                            \
+  KeyBlob* PFX##_proof_of_string(std::string* s) { return new KeyBlob{*s}; }   \
+  std::string* PFX##_proof_to_string(KeyBlob* k) {                             \
+    return new std::string(k->data);                                           \
+  }                                                                            \
+  void PFX##_proof_delete(KeyBlob* k) { delete k; }                            \
   } /* extern "C" */
 
 static const u64 MNT6_R_LIMBS[NL] = {

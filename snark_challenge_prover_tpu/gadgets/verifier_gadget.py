@@ -269,3 +269,260 @@ class Groth16VerifierGadget:
             acc_val = sm.generate_r1cs_witness(x, acc_val)
         for b_ in self._builders:
             b_.fill()
+
+
+class G1VarScalarMulGadget:
+    """acc_out = acc_in + s * B for a WIRE base point B: double-and-add
+    where both the running accumulator and the running base multiple are
+    wires — per bit one add gadget, one doubling gadget and a
+    2-constraint coordinate select.  The variable-base analogue of
+    G1ScalarMulGadget, needed when the vk itself is a witness
+    (r1cs_ppzksnark_verifier_gadget's G1_multiscalar_mul over a
+    verification_key_variable)."""
+
+    def __init__(self, pb: Protoboard, hc: HostCurve, base, acc_in,
+                 nbits: int, annotation="vsmul"):
+        self.pb = pb
+        self.hc = hc
+        self.bits = [pb.allocate_var(f"{annotation}.bit{i}")
+                     for i in range(nbits)]
+        for b in self.bits:
+            pb.add_r1cs_constraint(
+                R1CSConstraint(b.lc(), _c(1) - b.lc(), _c(0)),
+                f"{annotation} bool",
+            )
+        self.steps = []
+        acc = acc_in
+        cur = base  # wire pair: the running 2^i * B
+        a_coeff = hc.g1.a
+        for i in range(nbits):
+            cx = pb.allocate_var(f"{annotation}.cx{i}")
+            cy = pb.allocate_var(f"{annotation}.cy{i}")
+            add = G1AddGadget(pb, acc, cur, (cx, cy), f"{annotation}.add{i}")
+            add.generate_r1cs_constraints()
+            nx = pb.allocate_var(f"{annotation}.nx{i}")
+            ny = pb.allocate_var(f"{annotation}.ny{i}")
+            b = self.bits[i]
+            ax = acc[0].lc() if isinstance(acc[0], PBVariable) else acc[0]
+            ay = acc[1].lc() if isinstance(acc[1], PBVariable) else acc[1]
+            pb.add_r1cs_constraint(
+                R1CSConstraint(b.lc(), cx.lc() - ax, nx.lc() - ax),
+                f"{annotation} selx",
+            )
+            pb.add_r1cs_constraint(
+                R1CSConstraint(b.lc(), cy.lc() - ay, ny.lc() - ay),
+                f"{annotation} sely",
+            )
+            if i + 1 < nbits:
+                dx = pb.allocate_var(f"{annotation}.dx{i}")
+                dy = pb.allocate_var(f"{annotation}.dy{i}")
+                dbl = G1DoubleGadget(pb, a_coeff, cur, (dx, dy),
+                                     f"{annotation}.dbl{i}")
+                dbl.generate_r1cs_constraints()
+            else:
+                dbl, dx, dy = None, None, None
+            self.steps.append((add, (cx, cy), (nx, ny), dbl, (dx, dy)))
+            acc = (nx, ny)
+            if dbl is not None:
+                cur = (dx, dy)
+        self.acc_out = acc
+
+    def generate_r1cs_witness(self, scalar: int, base_val, acc_in_val):
+        pb = self.pb
+        g1 = self.hc.g1
+        acc_val = acc_in_val
+        cur_val = base_val
+        for i, (add, (cx, cy), (nx, ny), dbl, (dx, dy)) in enumerate(self.steps):
+            bit = (scalar >> i) & 1
+            pb.set_val(self.bits[i], bit)
+            cand = g1.add(acc_val, cur_val)
+            pb.set_val(cx, cand[0])
+            pb.set_val(cy, cand[1])
+            den = (cur_val[0] - acc_val[0]) % pb.p
+            lam = (cur_val[1] - acc_val[1]) * pow(den, -1, pb.p) % pb.p
+            pb.set_val(add.lam, lam)
+            if bit:
+                acc_val = cand
+            pb.set_val(nx, acc_val[0])
+            pb.set_val(ny, acc_val[1])
+            if dbl is not None:
+                nxt = g1.add(cur_val, cur_val)
+                dbl.generate_r1cs_witness()
+                cur_val = nxt
+        return acc_val
+
+
+def vk_field_elements(hc: HostCurve, vk, num_inputs: int):
+    """The vk flattened to a canonical field-element list — the digest
+    preimage for set-commitment authentication (mp_pcd_circuits hashes
+    the translation vk bits the same way)."""
+    out = []
+    for i in range(num_inputs + 1):
+        out += [vk.ABC_g1[i][0], vk.ABC_g1[i][1]]
+    F = hc.g2.F
+    out += list(F.components(vk.delta_g2[0]))
+    out += list(F.components(vk.delta_g2[1]))
+    out += list(F.components(vk.alpha_g1_beta_g2[0]))
+    out += list(F.components(vk.alpha_g1_beta_g2[1]))
+    return [v % hc.g2.F.p for v in out]
+
+
+class Groth16VerifierGadgetVarVK:
+    """In-circuit Groth16 verifier where the vk enters as WIRES — the
+    r1cs_ppzksnark_verification_key_variable form the multi-predicate
+    PCD requires (mp_pcd_circuits.hpp: incoming proofs verify against a
+    witness vk whose digest is then authenticated against a committed
+    vk set).  `.vk_digest` is the knapsack-CRH digest wire of the vk's
+    canonical field-element flattening (vk_field_elements)."""
+
+    def __init__(self, pb: Protoboard, hc: HostCurve, num_inputs: int,
+                 annotation="g16vv"):
+        from .knapsack import FieldBitsGadget, KnapsackCRHGadget
+
+        self.pb = pb
+        self.hc = hc
+        self.num_inputs = num_inputs
+        engine = AtePairing(hc)
+        self.engine = engine
+        deg = hc.g2.F.deg
+        nbits = 753
+
+        # ---- vk wires --------------------------------------------------
+        self.ABC = [
+            (pb.allocate_var(f"{annotation}.abc{i}.x"),
+             pb.allocate_var(f"{annotation}.abc{i}.y"))
+            for i in range(num_inputs + 1)
+        ]
+        self.delta = (
+            ExtVariable.allocate(pb, deg, f"{annotation}.delta.x"),
+            ExtVariable.allocate(pb, deg, f"{annotation}.delta.y"),
+        )
+        self.alpha_beta = (
+            ExtVariable.allocate(pb, deg, f"{annotation}.ab.c0"),
+            ExtVariable.allocate(pb, deg, f"{annotation}.ab.c1"),
+        )
+
+        # ---- proof + input wires --------------------------------------
+        self.A = (pb.allocate_var(f"{annotation}.pA.x"),
+                  pb.allocate_var(f"{annotation}.pA.y"))
+        self.B = (
+            ExtVariable.allocate(pb, deg, f"{annotation}.pB.x"),
+            ExtVariable.allocate(pb, deg, f"{annotation}.pB.y"),
+        )
+        self.C = (pb.allocate_var(f"{annotation}.pC.x"),
+                  pb.allocate_var(f"{annotation}.pC.y"))
+        self.inputs = [pb.allocate_var(f"{annotation}.x{i}")
+                       for i in range(num_inputs)]
+
+        # ---- IC accumulation (variable bases) -------------------------
+        self.smuls = []
+        acc = self.ABC[0]
+        for i in range(num_inputs):
+            sm = G1VarScalarMulGadget(
+                pb, hc, self.ABC[i + 1], acc, nbits, f"{annotation}.ic{i}"
+            )
+            pack = LC()
+            for j, b in enumerate(sm.bits):
+                pack = pack + b.lc(1 << j)
+            pb.add_r1cs_constraint(
+                R1CSConstraint(_c(1), pack, self.inputs[i].lc()),
+                f"{annotation} pack{i}",
+            )
+            self.smuls.append(sm)
+            acc = sm.acc_out
+        self.acc = acc
+
+        # ---- the three pairings (delta is wires now) ------------------
+        self.pair_AB = ReducedPairingGadget(
+            pb, hc, self.A, self.B, f"{annotation}.eAB"
+        )
+        g2one = hc.g2_gen
+
+        def const_g2(Q):
+            F = hc.g2.F
+            return (
+                ExtVariable.constant(list(F.components(Q[0]))),
+                ExtVariable.constant(list(F.components(Q[1]))),
+            )
+
+        self.pair_acc = ReducedPairingGadget(
+            pb, hc, self.acc, const_g2(g2one), f"{annotation}.eacc"
+        )
+        self.pair_C = ReducedPairingGadget(
+            pb, hc, self.C, self.delta, f"{annotation}.eC"
+        )
+
+        # ---- combine + pin (alpha_beta is wires: full GT mul) ---------
+        from .pairing_gadgets import _GTOps
+
+        self._builders = [self.pair_acc.b, self.pair_C.b, self.pair_AB.b]
+        gtops = _GTOps(self.pair_AB.b)
+        rhs = gtops.mul(self.pair_acc.result, self.pair_C.result,
+                        f"{annotation}.rhs")
+        final = gtops.mul(self.alpha_beta, rhs, f"{annotation}.fin")
+        for comp_l, comp_r in zip(
+            list(self.pair_AB.result[0].comps)
+            + list(self.pair_AB.result[1].comps),
+            list(final[0].comps) + list(final[1].comps),
+        ):
+            pb.add_r1cs_constraint(
+                R1CSConstraint(_c(1), comp_l - comp_r, _c(0)),
+                f"{annotation} verify",
+            )
+
+        # ---- vk digest (knapsack over the canonical flattening) -------
+        vk_wires = []
+        for (x, y) in self.ABC:
+            vk_wires += [x, y]
+        for ext in (self.delta[0], self.delta[1],
+                    self.alpha_beta[0], self.alpha_beta[1]):
+            for c in ext.comps:
+                w = pb.allocate_var(f"{annotation}.vkw")
+                pb.add_r1cs_constraint(
+                    R1CSConstraint(_c(1), c, w.lc()), f"{annotation} vkpin"
+                )
+                vk_wires.append(w)
+        self._vk_comp_wires = vk_wires
+        self._bit_gadgets = [
+            FieldBitsGadget(pb, w, f"{annotation}.vkb{i}")
+            for i, w in enumerate(vk_wires)
+        ]
+        all_bits = []
+        for g in self._bit_gadgets:
+            all_bits += list(g.bits)
+        self.vk_digest = pb.allocate_var(f"{annotation}.vkdig")
+        self._crh = KnapsackCRHGadget(pb, all_bits, self.vk_digest,
+                                      f"{annotation}.vkcrh")
+
+    def generate_r1cs_witness(self, vk, primary, proof):
+        pb = self.pb
+        hc = self.hc
+        F = hc.g2.F
+        for i, (x, y) in enumerate(self.ABC):
+            pb.set_val(x, vk.ABC_g1[i][0])
+            pb.set_val(y, vk.ABC_g1[i][1])
+        self.delta[0].set(pb, F.components(vk.delta_g2[0]))
+        self.delta[1].set(pb, F.components(vk.delta_g2[1]))
+        self.alpha_beta[0].set(pb, F.components(vk.alpha_g1_beta_g2[0]))
+        self.alpha_beta[1].set(pb, F.components(vk.alpha_g1_beta_g2[1]))
+        pb.set_val(self.A[0], proof.g_A[0])
+        pb.set_val(self.A[1], proof.g_A[1])
+        self.B[0].set(pb, proof.g_B[0])
+        self.B[1].set(pb, proof.g_B[1])
+        pb.set_val(self.C[0], proof.g_C[0])
+        pb.set_val(self.C[1], proof.g_C[1])
+        acc_val = vk.ABC_g1[0]
+        for i, (x, sm) in enumerate(zip(primary, self.smuls)):
+            pb.set_val(self.inputs[i], x)
+            acc_val = sm.generate_r1cs_witness(
+                x, vk.ABC_g1[i + 1], acc_val
+            )
+        for b_ in self._builders:
+            b_.fill()
+        # vk component pins + digest
+        elems = vk_field_elements(hc, vk, self.num_inputs)
+        for w, v in zip(self._vk_comp_wires, elems):
+            pb.set_val(w, v)
+        for g in self._bit_gadgets:
+            g.generate_r1cs_witness()
+        self._crh.generate_r1cs_witness()

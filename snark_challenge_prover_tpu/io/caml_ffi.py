@@ -120,6 +120,71 @@ class CamlFFI:
     def protoboard(self) -> "CamlProtoboard":
         return CamlProtoboard(self)
 
+    # ---- native string plumbing --------------------------------------
+    def read_string(self, handle, delete: bool = True) -> bytes:
+        n = self("string_length", handle, restype=ctypes.c_int)
+        data = self.fn("string_data",
+                       restype=ctypes.POINTER(ctypes.c_char))(handle)
+        out = ctypes.string_at(data, n)
+        if delete:
+            self("string_delete", handle, restype=None)
+        return out
+
+    def make_string(self, data: bytes):
+        return self.fn(
+            "string_of_bytes",
+            argtypes=[ctypes.c_char_p, ctypes.c_int],
+        )(data, len(data))
+
+    # ---- keypair/proof string serialization (caml_mnt4753.cpp:644-693)
+    # The native handles are opaque byte blobs in libsnark's iostream
+    # layout; io.caml_serialization encodes/decodes the framework's
+    # key/proof objects into that layout.
+    def _obj_to_string(self, kind: str, encoded: bytes) -> bytes:
+        s = self.make_string(encoded)
+        h = self(f"{kind}_of_string", s)
+        self("string_delete", s, restype=None)
+        out = self(f"{kind}_to_string", h)
+        data = self.read_string(out)
+        self(f"{kind}_delete", h, restype=None)
+        return data
+
+    def proving_key_to_string(self, pk) -> bytes:
+        from . import caml_serialization as cs
+
+        return self._obj_to_string(
+            "proving_key", cs.proving_key_to_bytes(pk)
+        )
+
+    def proving_key_of_string(self, data: bytes):
+        from . import caml_serialization as cs
+
+        return cs.proving_key_from_bytes(self.curve, data)
+
+    def verification_key_to_string(self, vk) -> bytes:
+        from . import caml_serialization as cs
+
+        return self._obj_to_string(
+            "verification_key", cs.verification_key_to_bytes(vk)
+        )
+
+    def verification_key_of_string(self, data: bytes):
+        from . import caml_serialization as cs
+
+        return cs.verification_key_from_bytes(self.curve, data)
+
+    def proof_to_string(self, proof) -> bytes:
+        from . import caml_serialization as cs
+
+        return self._obj_to_string(
+            "proof", cs.proof_to_bytes_caml(self.curve, proof)
+        )
+
+    def proof_of_string(self, data: bytes):
+        from . import caml_serialization as cs
+
+        return cs.proof_from_bytes_caml(self.curve, data)
+
 
 class CamlProtoboard:
     """snarky-style circuit builder over the native protoboard."""
@@ -266,9 +331,6 @@ class CamlProtoboard:
         ffi = self.ffi
         sys_h = ffi("protoboard_constraint_system", self.pb)
         s = ffi("r1cs_constraint_system_digest", sys_h)
-        n = ffi("string_length", s, restype=ctypes.c_int)
-        data = ffi.fn("string_data", restype=ctypes.POINTER(ctypes.c_char))(s)
-        out = ctypes.string_at(data, n)
-        ffi("string_delete", s, restype=None)
+        out = ffi.read_string(s)
         ffi("r1cs_constraint_system_delete", sys_h, restype=None)
         return out

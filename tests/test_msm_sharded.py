@@ -94,6 +94,79 @@ def test_msm_sharded_2d_hierarchical(mesh, rng):
     assert _unpack_pts(G, spec, out) == [want]
 
 
+@pytest.mark.parametrize("grp", ["g1", "g2"])
+def test_msm_multi_sharded_full_width(mesh, grp, rng):
+    """FULL-width (753-bit) scalars over the mesh at c=2 — the shape the
+    production sharded prover runs (digit extraction at limb
+    boundaries, Horner depth, padding all at full width; the 64-bit
+    variants above keep the driver dryrun cheap)."""
+    model = mnt4753.get()
+    ocur = mnt4753_oracle()
+    OG = getattr(ocur, grp)
+    gen = ocur.g1_gen if grp == "g1" else ocur.g2_gen
+    G = model.G1 if grp == "g1" else model.G2
+    spec = model.Fq.spec
+    r_ord = ocur.fr_spec.p
+
+    N = 16
+    pts = [OG.mul(rng.getrandbits(40) | 1, gen) for _ in range(N - 2)]
+    pts += [None, pts[0]]
+    scalars = [rng.getrandbits(753) % r_ord for _ in range(N - 2)] + [0, 1]
+
+    want = None
+    for s, P in zip(scalars, pts):
+        want = OG.add(want, OG.mul(s, P))
+
+    P = _pack_pts(G, model.Fq, spec, pts)
+    S = jnp.asarray(ints_to_limbs(scalars))
+    out = msm_multi_sharded(
+        mesh, G, tuple(a[..., None, :] for a in P), S[:, None, :], c=2
+    )
+    assert _unpack_pts(G, spec, out) == [want]
+
+
+def test_prove_step_sharded_staged_fft_full_width(rng):
+    """The STAGED sharded prover with the 4-step distributed FFT at
+    full scalar width vs the exact-int oracle — the production
+    multichip path end to end (a 2-device mesh keeps d+1 >= D^2 at the
+    tiny fixture size)."""
+    import functools
+    import io
+
+    from tests.conftest import cpu_devices
+    from __graft_entry__ import _tiny_fixture
+    from snark_challenge_prover_tpu.parallel.pipeline import (
+        prove_step_sharded_staged,
+    )
+    from snark_challenge_prover_tpu.proof_systems.groth16 import (
+        _g1_proj_to_host,
+        _g2_proj_to_host,
+    )
+    from tools import oracle as orc
+
+    mesh2 = make_mesh(2, devices=cpu_devices(8)[:2])
+    model, params_dev, input_dev, d, m = _tiny_fixture()
+    cur, params, inputs = orc.generate_fixture("MNT4753", 3, seed=5)
+    proof_bytes = orc.prove(cur, params, inputs)
+    buf = io.BytesIO(proof_bytes)
+    want_A = orc.read_g1(buf, cur)
+    want_B = orc.read_g2(buf, cur)
+    want_C = orc.read_g1(buf, cur)
+
+    At, Bt2, C = jax.block_until_ready(
+        prove_step_sharded_staged(
+            mesh2, model, params_dev, input_dev, d=d, m=m, c=2,
+            sharded_fft=True,
+        )
+    )
+    got_A = _g1_proj_to_host(model, tuple(t[..., 0:1] for t in At))
+    got_B = _g2_proj_to_host(model, Bt2)
+    got_C = _g1_proj_to_host(model, tuple(t[..., 0:1] for t in C))
+    assert got_A == want_A
+    assert got_B == want_B
+    assert got_C == want_C
+
+
 def test_prove_step_sharded_matches_oracle(mesh):
     """Full sharded prove step == the exact-int oracle proof (the
     dryrun_multichip path, end to end on the CPU mesh)."""
