@@ -291,6 +291,80 @@ def _ec_segmented_scan(curve: Curve, pts, start, impl: str = "hillis"):
     return state[0], state[1], state[2]
 
 
+def _bitrev_perm(n: int) -> np.ndarray:
+    """Bit-reversal permutation of [0, n) (n a power of two)."""
+    k = n.bit_length() - 1
+    out = np.zeros(n, np.int32)
+    for i in range(n):
+        r = 0
+        x = i
+        for _ in range(k):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        out[i] = r
+    return out
+
+
+def _ec_excl_scan_bitrev(curve: Curve, elems):
+    """EXCLUSIVE EC scan of a (..., n) batch that is already in
+    BIT-REVERSED order along the last axis (n = 2^k); output is the
+    exclusive scan, also in bit-reversed order.
+
+    Why: in bit-reversed layout, Blelloch's pair (2i, 2i+1) sits at
+    (i, i + half) — every up/down-sweep step slices CONTIGUOUS halves.
+    The even/odd (stride-2) slicing of the Ladner-Fischer tree forces
+    an XLA lane relayout of the 48-limb planes at every level, which
+    chip microbenchmarks showed costing as much as the EC kernels
+    themselves (PLAN.md round-5)."""
+    n = elems[0].shape[-1]
+    assert n & (n - 1) == 0, n
+    F = curve.F
+    ups = [tuple(elems)]
+    cur = tuple(elems)
+    while cur[0].shape[-1] > 1:
+        half = cur[0].shape[-1] // 2
+        a = tuple(t[..., :half] for t in cur)
+        b = tuple(t[..., half:] for t in cur)
+        cur = curve.add(a, b)
+        ups.append(cur)
+    batch = elems[0].shape[F.elem_ndim : -1] + (1,)
+    D = (F.zeros(batch), F.ones(batch), F.zeros(batch))
+    # down-sweep: child exclusive scan = [parent, parent + left sums]
+    for A in reversed(ups[:-1]):
+        m = D[0].shape[-1]
+        left = tuple(t[..., :m] for t in A)
+        right = curve.add(D, left)
+        D = tuple(
+            jnp.concatenate([d, r], axis=-1) for d, r in zip(D, right)
+        )
+    return D
+
+
+def _segment_totals_bitrev(curve: Curve, pts_brev, start_idx, rev):
+    """Segment-inclusive prefix values (bit-reversed order) from
+    bit-reversed points + LINEAR-order segment-start indices.
+
+    seg_incl[i] = incl[i] - excl[seg_start(i)] — the exclusive scan
+    needs no first-segment special case (excl[0] = identity)."""
+    excl = _ec_excl_scan_bitrev(curve, pts_brev)
+    incl = curve.add(excl, pts_brev)
+    # positions are bit-reversed: slot r holds linear position rev[r];
+    # its segment start (linear) maps back into bitrev slot space
+    rev_a = jnp.asarray(rev)
+    sstart_brev = jnp.take(jnp.take(rev_a, start_idx, axis=-1),
+                           rev_a, axis=-1)
+    extra = pts_brev[0].ndim - sstart_brev.ndim
+
+    def gather(t):
+        gi = jnp.broadcast_to(
+            sstart_brev, t.shape[:extra] + sstart_brev.shape
+        )
+        return jnp.take_along_axis(t, gi, axis=-1)
+
+    base = tuple(gather(t) for t in excl)
+    return curve.add(incl, curve.neg(base))
+
+
 def _segment_totals_subtract(curve: Curve, pts, start, impl: str = "tree"):
     """Segment-inclusive prefix values WITHOUT a segmented monoid: points
     form a group, so seg_incl[i] = pref[i] - pref[seg_start(i) - 1] where
@@ -532,12 +606,21 @@ def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int,
             return _stage(acc, X, Y, Z, digs)
 
     def _stage(acc, X, Y, Z, digs):
-        extra = X.ndim - 2
-        k = F.elem_ndim
         digs_m = digs.reshape(R, Nc)
         idx = jnp.argsort(digs_m, axis=-1, stable=True).astype(jnp.int32)
-        keys = jnp.take_along_axis(digs_m, idx, axis=-1)  # (R, Nc)
-        idx_g = idx.reshape(Gr, M, Nc)
+        keys = jnp.take_along_axis(digs_m, idx, axis=-1)  # (R, Nc) linear
+        bitrev = scan_impl == "bitrev"
+        if bitrev:
+            # points land DIRECTLY in bit-reversed sorted order (the
+            # permutation composes into the existing data-dependent
+            # gather for free); key-derived flags stay in linear order
+            # (cheap int ops) and permute as int32 where needed
+            rev = _bitrev_perm(Nc)
+            rev_a = jnp.asarray(rev)
+            idx_pts = jnp.take(idx, rev_a, axis=-1)
+        else:
+            idx_pts = idx
+        idx_g = idx_pts.reshape(Gr, M, Nc)
 
         def gather(arr):
             def take_m(a_m, i_m):
@@ -549,6 +632,8 @@ def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int,
 
         Xs, Ys, Zs = gather(X), gather(Y), gather(Z)
         zero_d = keys == 0
+        if bitrev:
+            zero_d = jnp.take(zero_d, rev_a, axis=-1)
         batch = (R, Nc)
         Xs = F.select(zero_d, F.zeros(batch), Xs)
         Ys = F.select(zero_d, F.ones(batch), Ys)
@@ -558,7 +643,15 @@ def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int,
             [jnp.ones((R, 1), bool), keys[..., 1:] != keys[..., :-1]],
             axis=-1,
         )
-        if scan_impl == "tree":
+        if bitrev:
+            pos = jnp.arange(Nc)
+            start_idx = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(start, pos, 0), axis=-1
+            )
+            sx, sy, sz = _segment_totals_bitrev(
+                curve, (Xs, Ys, Zs), start_idx, rev
+            )
+        elif scan_impl == "tree":
             sx, sy, sz = _segment_totals_subtract(
                 curve, (Xs, Ys, Zs), start, impl="tree"
             )
@@ -572,6 +665,8 @@ def _bucket_program(curve: Curve, c: int, Gr: int, M: int, Nc: int,
             axis=-1,
         )
         tgt = jnp.where(is_end, keys, B)  # non-ends -> slot B (dropped)
+        if bitrev:
+            tgt = jnp.take(tgt, rev_a, axis=-1)  # align with value order
         rows = jnp.arange(R)[:, None] * (B + 1)
         tgt_flat = (rows + tgt).reshape(-1)
 
@@ -614,7 +709,7 @@ def _triangle_program(curve: Curve, c: int, Gr: int, M: int,
             (bX[..., 1:], bY[..., 1:], bZ[..., 1:]),
             axis=bX.ndim - 1,
             reverse=True,
-            impl=scan_impl,
+            impl="tree" if scan_impl == "bitrev" else scan_impl,
         )
         S = _ec_reduce(curve, run)  # (..., R)
         S = tuple(t.reshape(t.shape[:-1] + (Gr, M)) for t in S)
@@ -648,8 +743,12 @@ def _digits_program(c: int, scalar_bits: int):
 
 def staged_scan_impl() -> str:
     """Default segment-scan implementation for the staged MSM programs:
-    SNARK_TPU_MSM_SCAN if set, else work-efficient "tree" on TPU (the
-    Hillis-Steele fallback elsewhere keeps XLA:CPU compiles small)."""
+    SNARK_TPU_MSM_SCAN if set, else work-efficient "tree" on TPU; the
+    Hillis-Steele fallback elsewhere keeps XLA:CPU compiles small.
+    ("bitrev" — bit-reversed contiguous-halves Blelloch — eliminates
+    the stride-2 relayout glue but costs ~N extra kernel adds; on-chip
+    it measured 5.28 s vs tree's 5.06 s at the probe shape, so tree
+    stays the default.)"""
     import os
 
     env = os.environ.get("SNARK_TPU_MSM_SCAN")
@@ -694,6 +793,9 @@ def msm_multi_staged(curve: Curve, points, scalars_canonical,
     # dims force XLA relayouts on every op), never far beyond N itself
     Nc = max(128, cap // max(1, Gr * M) // 128 * 128)
     Nc = min(Nc, max(128, (N + 127) // 128 * 128))
+    if scan_impl == "bitrev":
+        # the bit-reversed Blelloch scan needs a power-of-two chunk
+        Nc = 1 << (Nc.bit_length() - 1)
     n_chunks = (N + Nc - 1) // Nc
     Np = n_chunks * Nc
     if Np != N:

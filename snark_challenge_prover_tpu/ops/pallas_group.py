@@ -51,7 +51,15 @@ from .pallas_field import (
 
 # bound policy: every LazyVal keeps value < bound*p with bound <= MAXB
 MAXB = 8
-_K_COLS = (1, 2, 4, 8)  # k·p palette available for sub/reduce
+# k·p palette for sub/reduce.  It MUST reach >= half the largest bound
+# reduce() ever sees (mul_small by the Fq3 non-residue 11 on a bound-8
+# value -> 88): a conditional subtract of c*p lowers a <b*p value to
+# < max(c, b-c)*p, so with the palette capped at 8 a bound-66 value
+# "reduced" only to 58p while CLAIMING 8 — downstream sub() headroom
+# underflowed and corrupted the MNT6753 (Fq3) kernels on chip
+# (round-5 bench byte-mismatch; MNT4753 survived because its inflated
+# values only ever feed muls, which stay exact far beyond the claim).
+_K_COLS = (1, 2, 4, 8, 16, 32, 64)
 
 
 class _Ctx:
@@ -124,14 +132,16 @@ class LazyFp:
         return jnp.where(ge[None, :], _sub_const(v, kp), v)
 
     def reduce(self, a: LazyVal, target: int = MAXB) -> LazyVal:
-        """Shrink the p-bound via conditional subtractions of 2^j·p."""
+        """Shrink the p-bound via conditional subtractions of 2^j·p.
+        One conditional subtract of c*p takes a value < b*p to
+        < max(c, b-c)*p — the TRUE bound, not c (see _K_COLS note)."""
         b = a.bound
         v = a.v
+        assert b <= 2 * _K_COLS[-1], b  # palette must cover b/2
         while b > target:
-            c = _next_pow2(b) // 2
-            c = min(c, _K_COLS[-1])
+            c = min(_next_pow2(b) // 2, _K_COLS[-1])
             v = self._cond_sub(v, c)
-            b = c
+            b = max(c, b - c)
         return LazyVal(v, b)
 
     # -- constructors ---------------------------------------------------

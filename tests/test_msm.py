@@ -143,14 +143,15 @@ def test_msm_multi_matches_singles(rng):
     assert got == wants
 
 
-@pytest.mark.parametrize("impl", ["hillis", "tree"])
+@pytest.mark.parametrize("impl", ["hillis", "tree", "bitrev"])
 def test_msm_staged_matches_oracle(rng, monkeypatch, impl):
     """msm_multi_staged (the TPU execution path: host loop of bucket +
     triangle programs split at the scatter boundary — PLAN.md round-3
     root cause) == host oracle, with chunking forced so the N-chunk
-    bucket-accumulation fold is exercised.  "tree" is the TPU default
-    (work-efficient segment totals via plain-scan + group subtraction);
-    "hillis" the CPU default."""
+    bucket-accumulation fold is exercised.  "bitrev" is the TPU default
+    (bit-reversed contiguous-halves Blelloch — no stride-2 relayouts);
+    "tree" the work-efficient Ladner-Fischer; "hillis" the CPU
+    default."""
     monkeypatch.setenv("SNARK_TPU_MSM_LANES", "1024")  # force n_chunks > 1
     model = mnt4753.get()
     ocur = mnt4753_oracle()

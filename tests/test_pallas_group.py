@@ -15,6 +15,7 @@ to the canonical representative, so the projective triples coincide
 exactly (not merely as group elements)."""
 
 import contextlib
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,16 @@ import pytest
 
 from snark_challenge_prover_tpu.models import mnt4753, mnt6753
 from snark_challenge_prover_tpu.ops import pallas_group as pg
+
+# the tower formula graphs (60k-120k equations) take >45 min each to
+# compile on this 1-core XLA:CPU host; the G1 variant runs by default,
+# the G2 towers under the heavy gate (their end-to-end exactness is
+# also covered on-chip: bench.py byte-exact vs the C++ comparator)
+heavy = pytest.mark.skipif(
+    os.environ.get("SNARK_TPU_HEAVY_TESTS", "0") != "1"
+    and jax.default_backend() != "tpu",
+    reason="tower formula compile is heavy on 1-core XLA:CPU",
+)
 
 
 def _rand_points(curve, oracle_curve, gen, n, rng, fqs, deg):
@@ -51,8 +62,8 @@ def _rand_points(curve, oracle_curve, gen, n, rng, fqs, deg):
 
 CASES = [
     ("m4-g1", mnt4753, "g1", 1),
-    ("m4-g2", mnt4753, "g2", 2),
-    ("m6-g2", mnt6753, "g2", 3),
+    pytest.param("m4-g2", mnt4753, "g2", 2, marks=heavy),
+    pytest.param("m6-g2", mnt6753, "g2", 3, marks=heavy),
 ]
 
 
@@ -67,7 +78,8 @@ def _setup(model_mod, grp, rng):
     return model, curve, og, ogen
 
 
-@pytest.mark.parametrize("name,model_mod,grp,deg", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize("name,model_mod,grp,deg", CASES,
+                         ids=["m4-g1", "m4-g2", "m6-g2"])
 def test_ec_add_formula_exact(name, model_mod, grp, deg, rng):
     model, curve, og, ogen = _setup(model_mod, grp, rng)
     fqs = model.Fq.spec
@@ -89,7 +101,8 @@ def test_ec_add_formula_exact(name, model_mod, grp, deg, rng):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
-@pytest.mark.parametrize("name,model_mod,grp,deg", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize("name,model_mod,grp,deg", CASES,
+                         ids=["m4-g1", "m4-g2", "m6-g2"])
 def test_ec_dbl_formula_exact(name, model_mod, grp, deg, rng):
     model, curve, og, ogen = _setup(model_mod, grp, rng)
     fqs = model.Fq.spec
