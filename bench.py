@@ -22,7 +22,7 @@ run already consumed most of it, so a stray cold compile degrades the
 number instead of erasing it.
 
 Environment knobs:
-  BENCH_LOG2_D (default 12)  -- domain size exponent (d+1 = 2^k)
+  BENCH_LOG2_D (default 16)  -- domain size exponent (d+1 = 2^k)
   BENCH_CURVE  (default MNT4753)
   BENCH_CACHE  (default /tmp/snark_bench_cache) -- fixture/baseline cache
   BENCH_CPU    (default 1; 0 skips the CPU comparator run)
@@ -179,7 +179,10 @@ def main():
         os.environ.setdefault("BENCH_LOG2_D", "8")  # CPU-feasible size
         sys.stderr.write("# TPU unavailable - CPU fallback measurement\n")
     os.environ.setdefault("SNARK_TPU_PROFILE", "0")
-    log2_d = int(os.environ.get("BENCH_LOG2_D", "12"))
+    # default 2^16: the largest size with a round-5-warmed executable
+    # cache AND a cached single-core C++ comparator run (425.7 s); the
+    # round-5 measured steady state is 105.9 s, byte-exact (PLAN.md)
+    log2_d = int(os.environ.get("BENCH_LOG2_D", "16"))
     curve = os.environ.get("BENCH_CURVE", "MNT4753")
     cache = Path(os.environ.get("BENCH_CACHE", "/tmp/snark_bench_cache"))
     cache.mkdir(parents=True, exist_ok=True)

@@ -42,7 +42,15 @@ def run(platform: str, log2_per_device: int, curve: str = "MNT4753",
     n_per = 1 << log2_per_device
     rng = np.random.default_rng(7)
     results = []
-    sizes = [d for d in (1, 2, 4, 8) if d <= len(devices)]
+    import os
+
+    # every mesh size costs a fresh multi-minute XLA:CPU shard_map
+    # compile on this 1-core host; SNARK_SCALING_SIZES=1,8 measures just
+    # the efficiency endpoints when the full sweep cannot fit a round
+    size_env = os.environ.get("SNARK_SCALING_SIZES")
+    wanted = ([int(x) for x in size_env.split(",")] if size_env
+              else [1, 2, 4, 8])
+    sizes = [d for d in wanted if d <= len(devices)]
     for D in sizes:
         mesh = make_mesh(D, devices=devices)
         N = n_per * D
