@@ -117,9 +117,13 @@ def test_ec_dbl_formula_exact(name, model_mod, grp, deg, rng):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@heavy
 def test_pallas_call_plumbing_smoke(rng, monkeypatch):
     """Tiny tile through the REAL pallas_call path (interpreted on CPU,
-    compiled Mosaic on TPU): tiling, const operand, padding."""
+    compiled Mosaic on TPU): tiling, const operand, padding.  Heavy-
+    gated off-TPU: interpret mode re-executes the ~20k-op kernel trace
+    in Python on every run (~10 min on this host); the compiled path is
+    exercised continuously by the on-chip probes and bench."""
     monkeypatch.setenv("SNARK_TPU_EC_TILE", "8")
     model, curve, og, ogen = _setup(mnt4753, "g1", rng)
     fqs = model.Fq.spec
